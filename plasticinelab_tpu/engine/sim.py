@@ -1,0 +1,252 @@
+"""Scene facade: builds particles, compiles step/loss/rollout functions.
+
+API parity with the reference composition root plb/engine/taichi_env.py
+(TaichiEnv.initialize/step/compute_loss/render/get_state/set_state/set_copy),
+re-designed functionally: state is an explicit PyTree, every compiled function
+is pure, and the whole differentiable rollout (the reference's ti.Tape over 50
+steps x 19 substeps, solver.py:36-44) is one jitted value_and_grad of a
+jax.checkpoint-ed lax.scan.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.spec import SceneSpec
+from . import losses as losses_mod
+from . import mpm
+from .shapes import build_particles
+from .state import (
+    Materials,
+    SimState,
+    default_materials,
+    flat_primitive_states,
+    initial_state,
+    np_dtype,
+)
+
+ASSET_ROOT = os.path.join(os.path.dirname(__file__), "..", "envs")
+
+
+class PhysicsEnv:
+    """Owns one scene's compiled physics. Replaces the reference TaichiEnv."""
+
+    def __init__(self, scene: SceneSpec, nn: bool = False, loss: bool = True):
+        self.init_particles, self.particle_colors = build_particles(scene.shapes)
+        scene = scene.with_n_particles(len(self.init_particles))
+        self.scene = scene
+        self.n_particles = scene.simulator.n_particles
+        self.mats = default_materials(scene)
+        self.dtype = np_dtype(scene)
+
+        self.softness = 666.0
+        self._is_copy = True
+        self.state: SimState = initial_state(scene, self.init_particles)
+
+        self.loss_state = None
+        self._loss_enabled = loss
+        if loss:
+            self._loss_fn = jax.jit(self._loss_impl)  # traces on first call
+            self._load_target()
+
+        self._renderer = None
+        self.nn = None  # attached by callers that need an in-graph policy
+
+        # ---- compiled functions (cached per scene by jit) ----
+        self._step = jax.jit(
+            lambda state, action, softness: mpm.env_step(
+                scene, self.mats, state, action, softness
+            )
+        )
+        self._step_no_action = jax.jit(
+            lambda state, softness: mpm.env_step(
+                scene, self.mats, state, None, softness
+            )
+        )
+        self._rollout_vg = None  # built lazily per horizon
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    def _load_target(self):
+        path = self.scene.env.loss.target_path
+        grids = None
+        if path:
+            cand = [path, os.path.join(ASSET_ROOT, path),
+                    os.path.join(ASSET_ROOT, "assets", os.path.basename(path))]
+            for c in cand:
+                if os.path.exists(c):
+                    grids = np.load(c)
+                    break
+            if grids is None:
+                raise FileNotFoundError(f"goal grid not found: {path}")
+        if grids is None:
+            grids = np.zeros((self.scene.simulator.n_grid,) * 3)
+        self.target_density = np.asarray(grids, dtype=np.float64)
+        self.loss_state = losses_mod.make_loss_state(self.scene, self.target_density)
+        # IoU of the goal with itself — normalizer for incremental_iou
+        # (reference loss.py:46-57)
+        td = self.loss_state.target_density
+        self._target_iou = float(losses_mod.iou(td, td))
+        self._reset_loss_tracker()
+
+    def _loss_impl(self, state: SimState):
+        info = losses_mod.loss_and_components(self.scene, self.loss_state, state)
+        info["iou"] = losses_mod.iou(info.pop("grid_m"), self.loss_state.target_density)
+        return info
+
+    # ------------------------------------------------------------------
+    # reference TaichiEnv API
+    # ------------------------------------------------------------------
+    def set_copy(self, is_copy: bool):
+        self._is_copy = is_copy
+
+    def initialize(self):
+        self.state = initial_state(self.scene, self.init_particles)
+        if self._loss_enabled:
+            self._reset_loss_tracker()
+
+    def step(self, action=None):
+        if action is not None:
+            action = np.asarray(action, dtype=self.dtype)
+            self.state = self._step(self.state, action, self.dtype(self.softness))
+        else:
+            self.state = self._step_no_action(self.state, self.dtype(self.softness))
+
+    # ---- loss bookkeeping (reference loss.py:281-302 semantics) ----
+    def _reset_loss_tracker(self):
+        info = {k: float(v) for k, v in self._loss_fn(self.state).items()}
+        self._start_loss = info["loss"]
+        self._init_iou = info["iou"]
+        self._last_loss = 0.0
+
+    def compute_loss(self) -> Dict[str, float]:
+        info = {k: float(v) for k, v in self._loss_fn(self.state).items()}
+        if self._is_copy:
+            # RL mode: per-step loss, reward relative to the start
+            r = self._start_loss - info["loss"]
+            cur_step_loss = info["loss"]
+            self._last_loss = 0.0
+        else:
+            r = self._start_loss - (info["loss"] - self._last_loss)
+            cur_step_loss = info["loss"] - self._last_loss
+            self._last_loss = info["loss"]
+        denom = self._target_iou - self._init_iou
+        incremental_iou = max(min((info["iou"] - self._init_iou) / denom, 1), 0)
+        info["reward"] = r
+        info["incremental_iou"] = incremental_iou
+        info["target_iou"] = self._target_iou
+        info["loss"] = cur_step_loss
+        return info
+
+    def get_state(self) -> Dict[str, Any]:
+        s = self.state
+        state_list: List[np.ndarray] = [
+            np.asarray(s.x, np.float64), np.asarray(s.v, np.float64),
+            np.asarray(s.F, np.float64), np.asarray(s.C, np.float64),
+        ]
+        for i, p in enumerate(self.scene.primitives):
+            entry = np.concatenate(
+                [np.asarray(s.prim_pos[i], np.float64), np.asarray(s.prim_rot[i], np.float64)]
+            )
+            if p.shape == "Chopsticks":
+                entry = np.append(entry, float(s.prim_gap[i]))
+            state_list.append(entry)
+        return {"state": state_list, "softness": self.softness,
+                "is_copy": self._is_copy}
+
+    def set_state(self, state, softness, is_copy):
+        x, v, F, C = state[:4]
+        k = len(self.scene.primitives)
+        pos = np.zeros((k, 3)); rot = np.zeros((k, 4)); gap = np.zeros((k,))
+        for i, (p, entry) in enumerate(zip(self.scene.primitives, state[4:])):
+            pos[i] = entry[:3]
+            rot[i] = entry[3:7]
+            if p.shape == "Chopsticks" and len(entry) > 7:
+                gap[i] = entry[7]
+        dt = self.dtype
+        self.state = SimState(
+            x=jnp.asarray(x, dt), v=jnp.asarray(v, dt),
+            C=jnp.asarray(C, dt), F=jnp.asarray(F, dt),
+            prim_pos=jnp.asarray(pos, dt), prim_rot=jnp.asarray(rot, dt),
+            prim_gap=jnp.asarray(gap, dt),
+        )
+        self.softness = softness
+        self._is_copy = is_copy
+        if self._loss_enabled:
+            self._reset_loss_tracker()
+
+    # ------------------------------------------------------------------
+    # observations (reference envs/env.py:33-41)
+    # ------------------------------------------------------------------
+    def get_obs(self) -> np.ndarray:
+        n_obs = self.scene.env.n_observed_particles
+        step = self.n_particles // n_obs
+        x = np.asarray(self.state.x)[::step]
+        v = np.asarray(self.state.v)[::step]
+        prim = np.asarray(flat_primitive_states(self.scene, self.state))
+        return np.concatenate(
+            [np.concatenate([x, v], axis=-1).reshape(-1), prim.reshape(-1)]
+        )
+
+    # ------------------------------------------------------------------
+    # the differentiable rollout (reference solver.py:31-44 under ti.Tape)
+    # ------------------------------------------------------------------
+    def rollout_value_and_grad(self, state: SimState, actions: jnp.ndarray,
+                               softness: float):
+        """loss over a whole action trajectory + d loss / d actions.
+
+        Compiled once per horizon; per-env-step jax.checkpoint recomputes the
+        19 substeps in the backward pass — the same recompute strategy as the
+        reference's substep_grad (mpm_simulator.py:260-278).
+        """
+        if self._rollout_vg is None:
+            scene, mats = self.scene, self.mats
+
+            def rollout_loss(state0, actions, softness):
+                @jax.checkpoint
+                def step_fn(carry, action):
+                    st = mpm.env_step(scene, mats, carry, action, softness)
+                    info = losses_mod.loss_and_components(scene, self.loss_state, st)
+                    return st, info["loss"]
+
+                final, losses = jax.lax.scan(step_fn, state0, actions)
+                return jnp.sum(losses), final
+
+            self._rollout_vg = jax.jit(
+                jax.value_and_grad(rollout_loss, argnums=1, has_aux=True)
+            )
+        (loss, final_state), grad = self._rollout_vg(
+            state, jnp.asarray(actions, self.dtype), self.dtype(softness)
+        )
+        return loss, grad, final_state
+
+    # ------------------------------------------------------------------
+    # rendering (wired to the jnp renderer once built)
+    # ------------------------------------------------------------------
+    def render(self, mode="rgb_array", **kwargs):
+        from .renderer import Renderer
+
+        assert self._is_copy, "The environment must be in the copy mode for render ..."
+        if self._renderer is None:
+            self._renderer = Renderer(self.scene)
+            if self.loss_state is not None:
+                self._renderer.set_target_density(
+                    self.target_density / self.scene.simulator.p_mass
+                )
+        img = self._renderer.render_frame(
+            np.asarray(self.state.x), self.particle_colors,
+            np.asarray(self.state.prim_pos), np.asarray(self.state.prim_rot),
+            np.asarray(self.state.prim_gap), **kwargs,
+        )
+        img = np.uint8(np.clip(img, 0, 1) * 255)
+        return img
+
+
+# Alias for users porting from the reference
+TaichiEnv = PhysicsEnv

@@ -1,0 +1,125 @@
+"""Differentiable-physics trajectory optimization over action sequences.
+
+Behavioral reference: plb/optimizer/solver.py. Each iteration evaluates the
+whole 50-step rollout loss and its gradient w.r.t. the (horizon, action_dim)
+action matrix in ONE jitted value_and_grad call on device (the reference
+re-simulates under ti.Tape and reads action_buffer.grad back per iteration,
+solver.py:31-44); the Adam/Momentum update matches optim.py exactly and runs
+on host over a tiny matrix.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..engine.sim import PhysicsEnv
+from .optim import OPTIMS, OptimizerConfig
+
+
+@dataclass
+class SolverConfig:
+    optim: OptimizerConfig = field(default_factory=OptimizerConfig)
+    n_iters: int = 100
+    softness: float = 666.0
+    horizon: int = 50
+    init_range: float = 0.0
+    init_sampler: str = "uniform"
+
+
+class Solver:
+    def __init__(self, env: PhysicsEnv, logger=None, cfg: Optional[SolverConfig] = None,
+                 **kwargs):
+        base = cfg or SolverConfig()
+        optim_overrides = {
+            k[len("optim."):]: v for k, v in kwargs.items() if k.startswith("optim.")
+        }
+        plain = {k: v for k, v in kwargs.items() if "." not in k}
+        if optim_overrides:
+            base = SolverConfig(
+                **{**base.__dict__, "optim": OptimizerConfig(
+                    **{**base.optim.__dict__, **optim_overrides})},
+            )
+        if plain:
+            d = {**base.__dict__, **plain}
+            base = SolverConfig(**d)
+        self.cfg = base
+        self.optim_cfg = self.cfg.optim
+        self.env = env
+        self.logger = logger
+
+    def solve(self, init_actions=None, callbacks: Sequence[Callable] = ()):
+        env = self.env
+        if init_actions is None:
+            init_actions = self.init_actions(env, self.cfg)
+        optim = OPTIMS[self.optim_cfg.type](init_actions, self.optim_cfg)
+
+        env_state = env.get_state()
+        self.total_steps = 0
+
+        def forward(sim_state, actions):
+            if self.logger is not None:
+                self.logger.reset()
+            env.set_state(sim_state, self.cfg.softness, False)
+            loss, grad, _final = env.rollout_value_and_grad(
+                env.state, actions, self.cfg.softness
+            )
+            self.total_steps += len(actions)
+            if self.logger is not None:
+                info = env.compute_loss()
+                self.logger.step(None, None, info["reward"], None, True, info)
+            return float(loss), np.asarray(grad, np.float64)
+
+        best_action, best_loss = None, 1e10
+        actions = np.asarray(init_actions, np.float64)
+        for it in range(self.cfg.n_iters):
+            self.params = actions.copy()
+            loss, grad = forward(env_state["state"], actions)
+            if loss < best_loss:
+                best_loss, best_action = loss, actions.copy()
+            actions = optim.step(grad)
+            for callback in callbacks:
+                callback(self, optim, loss, grad)
+
+        env.set_state(**env_state)
+        self.best_loss = best_loss
+        return best_action
+
+    @staticmethod
+    def init_actions(env: PhysicsEnv, cfg: SolverConfig):
+        action_dim = env.scene.action_dim
+        if cfg.init_sampler == "uniform":
+            return np.random.uniform(
+                -cfg.init_range, cfg.init_range, size=(cfg.horizon, action_dim)
+            )
+        raise NotImplementedError(cfg.init_sampler)
+
+
+def solve_action(env, path, logger, args):
+    """CLI entry (reference solver.py:86-101): optimize, then replay the best
+    actions and dump one PNG per step."""
+    os.makedirs(path, exist_ok=True)
+    env.reset()
+    taichi_env: PhysicsEnv = env.unwrapped.taichi_env
+    T = env._max_episode_steps
+    solver = Solver(
+        taichi_env, logger, None,
+        n_iters=(args.num_steps + T - 1) // T, softness=args.softness, horizon=T,
+        **{"optim.lr": args.lr, "optim.type": args.optim, "init_range": 0.0001},
+    )
+    action = solver.solve()
+
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    for idx, act in enumerate(action):
+        env.step(act)
+        img = env.render(mode="rgb_array")
+        if cv2 is not None:
+            cv2.imwrite(f"{path}/{idx:04d}.png", img[..., ::-1])
+        else:
+            np.save(f"{path}/{idx:04d}.npy", img)
+    return action

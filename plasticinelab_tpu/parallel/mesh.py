@@ -1,0 +1,83 @@
+"""Batched / multi-chip execution: vmapped envs sharded over a device mesh.
+
+The reference has no distributed backend at all (SURVEY.md §2.9: single
+ti.init, one env per process). Here batching is a first-class capability:
+a SimState with a leading batch axis, vmapped physics, and a 1-D
+jax.sharding.Mesh over the batch axis so XLA partitions the sweep over ICI.
+Parameters / goal tensors are replicated; each env's 64^3 grid lives wholly
+on one chip, so no halo exchange is needed — the only collective is the
+mean-loss psum XLA inserts for the gradient.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.spec import SceneSpec
+from ..engine import losses as losses_mod
+from ..engine import mpm
+from ..engine.state import Materials, SimState
+
+__all__ = ["make_mesh", "batch_states", "build_batched_rollout_grad"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "env") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_states(state: SimState, batch: int, jitter: float = 0.0,
+                 seed: int = 0) -> SimState:
+    """Tile one SimState into a leading batch axis (optionally jittering
+    particle positions so envs decorrelate)."""
+    tiled = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), state
+    )
+    if jitter > 0:
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.uniform(
+            key, tiled.x.shape, tiled.x.dtype, -jitter, jitter
+        )
+        tiled = tiled._replace(x=jnp.clip(tiled.x + noise, 0.0, 0.95))
+    return tiled
+
+
+def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
+                               loss_state, mesh: Mesh, axis_name: str = "env"):
+    """Compile d(mean rollout loss)/d(actions) for a batch of envs sharded
+    over `mesh`. actions: (B, T, action_dim); states: SimState with leading B.
+
+    Per-env-step jax.checkpoint bounds HBM at ~one substep's activations per
+    step regardless of horizon (SURVEY.md §5 long-horizon strategy).
+    """
+
+    def rollout_loss(state0, actions, softness):
+        @jax.checkpoint
+        def step_fn(carry, action):
+            st = mpm.env_step(scene, mats, carry, action, softness)
+            info = losses_mod.loss_and_components(scene, loss_state, st)
+            return st, info["loss"]
+
+        final, per_step = jax.lax.scan(step_fn, state0, actions)
+        return jnp.sum(per_step)
+
+    def batched_loss(states, actions, softness):
+        losses_b = jax.vmap(lambda s, a: rollout_loss(s, a, softness))(states, actions)
+        return jnp.mean(losses_b)
+
+    vg = jax.value_and_grad(batched_loss, argnums=1)
+
+    shard_b = NamedSharding(mesh, P(axis_name))      # shard leading batch axis
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        vg,
+        in_shardings=(shard_b, shard_b, replicated),
+        out_shardings=(replicated, shard_b),
+    )
