@@ -1,0 +1,125 @@
+"""Shared RL building blocks: flax MLPs and a NumPy ring replay buffer.
+
+Behavioral reference: the vendored PyTorch baselines in plb/algorithms/
+(TD3/utils.py ring buffer; discor network.py MLPs). Networks are flax so the
+update steps jit/fuse on TPU; the buffer stays host-side NumPy (sampling is
+host logic between env steps).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MLP(nn.Module):
+    hidden: Sequence[int]
+    out_dim: int
+    activate_final: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        x = nn.Dense(self.out_dim)(x)
+        if self.activate_final:
+            x = nn.relu(x)
+        return x
+
+
+class GaussianPolicy(nn.Module):
+    """Tanh-squashed diagonal Gaussian (reference discor/network.py)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+    log_std_min: float = -20.0
+    log_std_max: float = 2.0
+
+    @nn.compact
+    def __call__(self, obs):
+        h = obs
+        for w in self.hidden:
+            h = nn.relu(nn.Dense(w)(h))
+        mean = nn.Dense(self.action_dim)(h)
+        log_std = nn.Dense(self.action_dim)(h)
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+        return mean, log_std
+
+    @staticmethod
+    def sample(mean, log_std, key):
+        std = jnp.exp(log_std)
+        eps = jax.random.normal(key, mean.shape)
+        pre_tanh = mean + std * eps
+        action = jnp.tanh(pre_tanh)
+        # log prob with tanh correction
+        log_prob = (
+            -0.5 * (eps**2) - log_std - 0.5 * jnp.log(2 * jnp.pi)
+        ).sum(-1) - jnp.log(1 - action**2 + 1e-6).sum(-1)
+        return action, log_prob
+
+
+class TwinQ(nn.Module):
+    """Twin state-action value functions (TD3.py:12-49 / discor network.py)."""
+
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs, act):
+        x = jnp.concatenate([obs, act], axis=-1)
+        q1 = MLP(self.hidden, 1)(x)
+        q2 = MLP(self.hidden, 1)(x)
+        return q1.squeeze(-1), q2.squeeze(-1)
+
+
+class Actor(nn.Module):
+    """Deterministic tanh actor (reference TD3.py:12-27)."""
+
+    action_dim: int
+    max_action: float = 1.0
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs):
+        h = obs
+        for w in self.hidden:
+            h = nn.relu(nn.Dense(w)(h))
+        return self.max_action * jnp.tanh(nn.Dense(self.action_dim)(h))
+
+
+class ReplayBuffer:
+    """Ring buffer (reference TD3/utils.py:5-40)."""
+
+    def __init__(self, state_dim: int, action_dim: int, max_size: int = int(1e6)):
+        self.max_size = max_size
+        self.ptr = 0
+        self.size = 0
+        self.state = np.zeros((max_size, state_dim), np.float32)
+        self.action = np.zeros((max_size, action_dim), np.float32)
+        self.next_state = np.zeros((max_size, state_dim), np.float32)
+        self.reward = np.zeros((max_size,), np.float32)
+        self.not_done = np.zeros((max_size,), np.float32)
+
+    def add(self, state, action, next_state, reward, done):
+        self.state[self.ptr] = state
+        self.action[self.ptr] = action
+        self.next_state[self.ptr] = next_state
+        self.reward[self.ptr] = reward
+        self.not_done[self.ptr] = 1.0 - done
+        self.ptr = (self.ptr + 1) % self.max_size
+        self.size = min(self.size + 1, self.max_size)
+
+    def sample(self, batch_size: int, rng: np.random.Generator):
+        ind = rng.integers(0, self.size, size=batch_size)
+        return (
+            self.state[ind], self.action[ind], self.next_state[ind],
+            self.reward[ind], self.not_done[ind],
+        )
+
+
+def soft_update(target_params, online_params, tau: float):
+    return jax.tree.map(
+        lambda t, o: t * (1.0 - tau) + o * tau, target_params, online_params
+    )

@@ -1,0 +1,130 @@
+"""DisCor-weighted SAC (behavioral reference:
+plb/algorithms/discor/algorithm/discor.py — an auxiliary twin error network
+estimates Bellman-error accumulation; Q targets get importance weights
+softmax(-gamma * err(s', a') / tau_err) and tau_err tracks the mean error)."""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..common import GaussianPolicy, ReplayBuffer, TwinQ, soft_update
+from .sac import SAC, SACState
+
+
+class DisCorState(NamedTuple):
+    err: dict
+    err_target: dict
+    err_opt: optax.OptState
+    tau1: jnp.ndarray
+    tau2: jnp.ndarray
+
+
+class DisCor(SAC):
+    """SAC + DisCor error model. Same interface as SAC."""
+
+    def __init__(self, state_dim, action_dim, error_lr=3e-4, tau_init=10.0,
+                 **kwargs):
+        super().__init__(state_dim, action_dim, **kwargs)
+        self.err_def = TwinQ()
+        key = jax.random.PRNGKey(kwargs.get("seed", 0) + 123)
+        obs = jnp.zeros((1, state_dim))
+        act = jnp.zeros((1, action_dim))
+        err_params = self.err_def.init(key, obs, act)
+        self.err_tx = optax.adam(error_lr)
+        self.dstate = DisCorState(
+            err=err_params, err_target=err_params,
+            err_opt=self.err_tx.init(err_params),
+            tau1=jnp.asarray(tau_init), tau2=jnp.asarray(tau_init),
+        )
+        self._update_discor = jax.jit(self._update_discor_impl)
+
+    def _update_discor_impl(self, ts: SACState, ds: DisCorState, batch, key):
+        state, action, next_state, reward, not_done = batch
+        k1, k2, k3 = jax.random.split(key, 3)
+        alpha = jnp.exp(ts.log_alpha)
+
+        mean, log_std = self.policy_def.apply(ts.policy, next_state)
+        next_action, next_logp = GaussianPolicy.sample(mean, log_std, k1)
+
+        # importance weights from the target error net (discor.py:94-117)
+        e1, e2 = self.err_def.apply(ds.err_target, next_state, next_action)
+        w1 = jax.nn.softmax(-self.gamma * e1 * not_done / ds.tau1) * e1.shape[0]
+        w2 = jax.nn.softmax(-self.gamma * e2 * not_done / ds.tau2) * e2.shape[0]
+
+        tq1, tq2 = self.q_def.apply(ts.q_target, next_state, next_action)
+        target_q = reward + not_done * self.gamma * (
+            jnp.minimum(tq1, tq2) - alpha * next_logp
+        )
+        target_q = jax.lax.stop_gradient(target_q)
+
+        def q_loss_fn(qp):
+            q1, q2 = self.q_def.apply(qp, state, action)
+            return (
+                jnp.mean(w1 * (q1 - target_q) ** 2)
+                + jnp.mean(w2 * (q2 - target_q) ** 2)
+            ), (q1, q2)
+
+        (qloss, (q1, q2)), qgrad = jax.value_and_grad(q_loss_fn, has_aux=True)(ts.q)
+        qupd, qopt = self.q_tx.update(qgrad, ts.q_opt)
+        q = optax.apply_updates(ts.q, qupd)
+
+        # error-net regression targets: |bellman error| + gamma * err(s',a')
+        curr_e1, curr_e2 = self.err_def.apply(ds.err, state, action)
+        tgt_e1 = jnp.abs(q1 - target_q) + not_done * self.gamma * e1
+        tgt_e2 = jnp.abs(q2 - target_q) + not_done * self.gamma * e2
+        tgt_e1 = jax.lax.stop_gradient(tgt_e1)
+        tgt_e2 = jax.lax.stop_gradient(tgt_e2)
+
+        def err_loss_fn(ep):
+            c1, c2 = self.err_def.apply(ep, state, action)
+            return jnp.mean((c1 - tgt_e1) ** 2) + jnp.mean((c2 - tgt_e2) ** 2)
+
+        _, egrad = jax.value_and_grad(err_loss_fn)(ds.err)
+        eupd, eopt = self.err_tx.update(egrad, ds.err_opt)
+        err = optax.apply_updates(ds.err, eupd)
+
+        # policy + alpha updates (same as SAC)
+        def policy_loss_fn(pp):
+            m, ls = self.policy_def.apply(pp, state)
+            a, logp = GaussianPolicy.sample(m, ls, k2)
+            pq1, pq2 = self.q_def.apply(q, state, a)
+            return jnp.mean(alpha * logp - jnp.minimum(pq1, pq2)), logp
+
+        (_, logp), pgrad = jax.value_and_grad(policy_loss_fn, has_aux=True)(ts.policy)
+        pupd, popt = self.policy_tx.update(pgrad, ts.policy_opt)
+        policy = optax.apply_updates(ts.policy, pupd)
+
+        def alpha_loss_fn(la):
+            return -jnp.mean(
+                jnp.exp(la) * jax.lax.stop_gradient(logp + self.target_entropy)
+            )
+
+        _, agrad = jax.value_and_grad(alpha_loss_fn)(ts.log_alpha)
+        aupd, aopt = self.alpha_tx.update(agrad, ts.alpha_opt)
+        log_alpha = optax.apply_updates(ts.log_alpha, aupd)
+
+        new_ts = SACState(
+            policy=policy, policy_opt=popt, q=q,
+            q_target=soft_update(ts.q_target, q, self.tau), q_opt=qopt,
+            log_alpha=log_alpha, alpha_opt=aopt,
+        )
+        new_ds = DisCorState(
+            err=err, err_target=soft_update(ds.err_target, err, self.tau),
+            err_opt=eopt,
+            tau1=ds.tau1 * (1 - self.tau) + self.tau * jnp.mean(tgt_e1),
+            tau2=ds.tau2 * (1 - self.tau) + self.tau * jnp.mean(tgt_e2),
+        )
+        return new_ts, new_ds, qloss
+
+    def update(self, replay_buffer: ReplayBuffer, batch_size=256, rng=None):
+        rng = rng or np.random.default_rng(0)
+        batch = replay_buffer.sample(batch_size, rng)
+        self._key, sub = jax.random.split(self._key)
+        self.state, self.dstate, loss = self._update_discor(
+            self.state, self.dstate, batch, sub
+        )
+        return float(loss)

@@ -1,0 +1,117 @@
+"""SAC training loop (behavioral reference: plb/algorithms/discor/run_sac.py
++ agent.py — batch 256, 1M buffer, 2500 warmup steps, update every step,
+eval every 200 episodes over 5 episodes, best/final model saving)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..common import ReplayBuffer
+from .sac import SAC
+
+
+def _reset(env):
+    out = env.reset()
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _step(env, action):
+    out = env.step(action)
+    if len(out) == 5:
+        obs, r, term, trunc, info = out
+        return obs, r, bool(term or trunc), info
+    return out
+
+
+class Agent:
+    def __init__(self, env, test_env, algo: SAC, log_dir, num_steps=500000,
+                 batch_size=256, memory_size=1000000, update_interval=1,
+                 start_steps=2500, eval_interval=200, num_eval_episodes=5,
+                 seed=0, logger=None):
+        self._env = env
+        self._test_env = test_env
+        self._algo = algo
+        self.logger = logger
+        self._num_steps = num_steps
+        self._batch_size = batch_size
+        self._update_interval = update_interval
+        self._start_steps = start_steps
+        self._eval_interval = eval_interval
+        self._num_eval_episodes = num_eval_episodes
+        self._rng = np.random.default_rng(seed)
+        self._replay = ReplayBuffer(
+            env.observation_space.shape[0], env.action_space.shape[0],
+            memory_size,
+        )
+        self._model_dir = os.path.join(log_dir, "model")
+        os.makedirs(self._model_dir, exist_ok=True)
+        self._best_eval = -np.inf
+        self._steps = 0
+        self._episodes = 0
+
+    def run(self):
+        while self._steps < self._num_steps:
+            self._train_episode()
+            if self._episodes % self._eval_interval == 0:
+                self._evaluate()
+        self._algo.save_models(os.path.join(self._model_dir, "final"))
+
+    def _train_episode(self):
+        self._episodes += 1
+        state = _reset(self._env)
+        done = False
+        t = 0
+        if self.logger is not None:
+            self.logger.reset()
+        while not done and t < self._env._max_episode_steps:
+            if self._steps < self._start_steps:
+                action = self._env.action_space.sample()
+            else:
+                action = self._algo.explore(np.asarray(state, np.float32))
+            next_state, reward, done, info = _step(self._env, action)
+            t += 1
+            self._steps += 1
+            done_bool = float(done) if t < self._env._max_episode_steps else 0.0
+            self._replay.add(state, action, next_state, reward, done_bool)
+            state = next_state
+            if self.logger is not None:
+                self.logger.step(None, None, reward, None,
+                                 t >= self._env._max_episode_steps or done, info)
+            if (self._steps >= self._start_steps
+                    and self._steps % self._update_interval == 0):
+                self._algo.update(self._replay, self._batch_size, self._rng)
+
+    def _evaluate(self):
+        total = 0.0
+        for _ in range(self._num_eval_episodes):
+            state = _reset(self._test_env)
+            done = False
+            t = 0
+            while not done and t < self._test_env._max_episode_steps:
+                action = self._algo.exploit(np.asarray(state, np.float32))
+                state, reward, done, info = _step(self._test_env, action)
+                total += reward
+                t += 1
+        mean_return = total / self._num_eval_episodes
+        if mean_return > self._best_eval:
+            self._best_eval = mean_return
+            self._algo.save_models(os.path.join(self._model_dir, "best"))
+        print(f"[SAC eval] steps={self._steps} mean_return={mean_return:.3f}")
+
+
+def train(env, path, logger, args):
+    algo = SAC(
+        state_dim=env.observation_space.shape[0],
+        action_dim=env.action_space.shape[0],
+        gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
+        target_update_coef=0.005, seed=args.seed,
+    )
+    agent = Agent(
+        env=env, test_env=env, algo=algo, log_dir=path,
+        num_steps=args.num_steps, batch_size=256, memory_size=1000000,
+        update_interval=1, start_steps=2500, eval_interval=200,
+        num_eval_episodes=5, seed=args.seed, logger=logger,
+    )
+    agent.run()
+    return algo

@@ -1,0 +1,140 @@
+"""SAC with automatic entropy tuning, in JAX/flax/optax.
+
+Behavioral reference: plb/algorithms/discor/algorithm/sac.py — twin soft-Q,
+tanh-Gaussian policy, target entropy -|A|, log-alpha optimized; same default
+hyperparameters (gamma 0.99, lrs 3e-4, tau 0.005, hidden 256x256).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..common import GaussianPolicy, ReplayBuffer, TwinQ, soft_update
+
+
+class SACState(NamedTuple):
+    policy: dict
+    policy_opt: optax.OptState
+    q: dict
+    q_target: dict
+    q_opt: optax.OptState
+    log_alpha: jnp.ndarray
+    alpha_opt: optax.OptState
+
+
+class SAC:
+    def __init__(self, state_dim, action_dim, gamma=0.99, policy_lr=3e-4,
+                 q_lr=3e-4, entropy_lr=3e-4, target_update_coef=0.005, seed=0):
+        self.gamma = gamma
+        self.tau = target_update_coef
+        self.target_entropy = -float(action_dim)
+
+        self.policy_def = GaussianPolicy(action_dim=action_dim)
+        self.q_def = TwinQ()
+        key = jax.random.PRNGKey(seed)
+        k1, k2, self._key = jax.random.split(key, 3)
+        obs = jnp.zeros((1, state_dim))
+        act = jnp.zeros((1, action_dim))
+        policy_params = self.policy_def.init(k1, obs)
+        q_params = self.q_def.init(k2, obs, act)
+
+        self.policy_tx = optax.adam(policy_lr)
+        self.q_tx = optax.adam(q_lr)
+        self.alpha_tx = optax.adam(entropy_lr)
+        log_alpha = jnp.zeros(())
+        self.state = SACState(
+            policy=policy_params, policy_opt=self.policy_tx.init(policy_params),
+            q=q_params, q_target=q_params, q_opt=self.q_tx.init(q_params),
+            log_alpha=log_alpha, alpha_opt=self.alpha_tx.init(log_alpha),
+        )
+        self._update = jax.jit(self._update_impl)
+        self._explore = jax.jit(self._explore_impl)
+        self._exploit = jax.jit(self._exploit_impl)
+
+    # ---- acting ----
+    def _explore_impl(self, params, obs, key):
+        mean, log_std = self.policy_def.apply(params, obs)
+        action, _ = GaussianPolicy.sample(mean, log_std, key)
+        return action
+
+    def _exploit_impl(self, params, obs):
+        mean, _ = self.policy_def.apply(params, obs)
+        return jnp.tanh(mean)
+
+    def explore(self, state: np.ndarray) -> np.ndarray:
+        self._key, sub = jax.random.split(self._key)
+        return np.asarray(self._explore(self.state.policy, state[None], sub))[0]
+
+    def exploit(self, state: np.ndarray) -> np.ndarray:
+        return np.asarray(self._exploit(self.state.policy, state[None]))[0]
+
+    # ---- learning ----
+    def _update_impl(self, ts: SACState, batch, key):
+        state, action, next_state, reward, not_done = batch
+        k1, k2 = jax.random.split(key)
+        alpha = jnp.exp(ts.log_alpha)
+
+        mean, log_std = self.policy_def.apply(ts.policy, next_state)
+        next_action, next_logp = GaussianPolicy.sample(mean, log_std, k1)
+        tq1, tq2 = self.q_def.apply(ts.q_target, next_state, next_action)
+        target_q = reward + not_done * self.gamma * (
+            jnp.minimum(tq1, tq2) - alpha * next_logp
+        )
+        target_q = jax.lax.stop_gradient(target_q)
+
+        def q_loss_fn(qp):
+            q1, q2 = self.q_def.apply(qp, state, action)
+            return jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
+
+        qloss, qgrad = jax.value_and_grad(q_loss_fn)(ts.q)
+        qupd, qopt = self.q_tx.update(qgrad, ts.q_opt)
+        q = optax.apply_updates(ts.q, qupd)
+
+        def policy_loss_fn(pp):
+            m, ls = self.policy_def.apply(pp, state)
+            a, logp = GaussianPolicy.sample(m, ls, k2)
+            q1, q2 = self.q_def.apply(q, state, a)
+            return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+
+        (ploss, logp), pgrad = jax.value_and_grad(policy_loss_fn, has_aux=True)(ts.policy)
+        pupd, popt = self.policy_tx.update(pgrad, ts.policy_opt)
+        policy = optax.apply_updates(ts.policy, pupd)
+
+        def alpha_loss_fn(la):
+            return -jnp.mean(
+                jnp.exp(la) * jax.lax.stop_gradient(logp + self.target_entropy)
+            )
+
+        _, agrad = jax.value_and_grad(alpha_loss_fn)(ts.log_alpha)
+        aupd, aopt = self.alpha_tx.update(agrad, ts.alpha_opt)
+        log_alpha = optax.apply_updates(ts.log_alpha, aupd)
+
+        q_target = soft_update(ts.q_target, q, self.tau)
+        return SACState(
+            policy=policy, policy_opt=popt, q=q, q_target=q_target, q_opt=qopt,
+            log_alpha=log_alpha, alpha_opt=aopt,
+        ), qloss
+
+    def update(self, replay_buffer: ReplayBuffer, batch_size=256, rng=None):
+        rng = rng or np.random.default_rng(0)
+        batch = replay_buffer.sample(batch_size, rng)
+        self._key, sub = jax.random.split(self._key)
+        self.state, loss = self._update(self.state, batch, sub)
+        return float(loss)
+
+    def save_models(self, path):
+        import pickle, os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "sac_state.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(self.state), f)
+
+    def load_models(self, path):
+        import pickle, os
+
+        with open(os.path.join(path, "sac_state.pkl"), "rb") as f:
+            self.state = jax.device_put(pickle.load(f))

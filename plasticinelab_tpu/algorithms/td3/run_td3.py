@@ -1,0 +1,101 @@
+"""TD3 training loop (behavioral reference: plb/algorithms/TD3/run_td3.py —
+same cadence: 2500 random warmup steps, train every step after warmup,
+eval every 200 episodes over 5 episodes, save final actor)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..common import ReplayBuffer
+from .td3 import TD3
+
+
+def eval_policy(policy, env, seed, eval_episodes=5):
+    avg_reward = 0.0
+    ep_iou, ep_last_iou = 0.0, 0.0
+    for _ in range(eval_episodes):
+        state, done = _reset(env), False
+        t = 0
+        while not done and t < env._max_episode_steps:
+            action = policy.select_action(np.array(state))
+            state, reward, done, info = _step(env, action)
+            avg_reward += reward
+            ep_iou += info["incremental_iou"]
+            t += 1
+        ep_last_iou += info["incremental_iou"]
+    avg_reward /= eval_episodes
+    print("---------------------------------------")
+    print(f"Evaluation over {eval_episodes} episodes: {avg_reward:.3f}")
+    print("---------------------------------------")
+    return avg_reward, ep_iou / eval_episodes, ep_last_iou / eval_episodes
+
+
+def _reset(env):
+    out = env.reset()
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _step(env, action):
+    out = env.step(action)
+    if len(out) == 5:  # gymnasium
+        obs, r, term, trunc, info = out
+        return obs, r, bool(term or trunc), info
+    return out
+
+
+def train_td3(env, path, logger, old_args):
+    start_timesteps = 2500
+    eval_freq = 200  # episodes
+    max_timesteps = old_args.num_steps
+    expl_noise = 0.1
+    batch_size = 256
+
+    os.makedirs(path, exist_ok=True)
+    state_dim = env.observation_space.shape[0]
+    action_dim = env.action_space.shape[0]
+    max_action = float(env.action_space.high[0])
+
+    policy = TD3(
+        state_dim, action_dim, max_action=max_action, discount=0.99,
+        tau=0.005, policy_noise=0.2 * max_action,
+        noise_clip=0.5 * max_action, policy_freq=2, seed=old_args.seed,
+    )
+    replay_buffer = ReplayBuffer(state_dim, action_dim)
+    rng = np.random.default_rng(old_args.seed)
+
+    state, done = _reset(env), False
+    episode_timesteps = 0
+    episode_num = 0
+    logger.reset()
+
+    for t in range(int(max_timesteps)):
+        episode_timesteps += 1
+        if t < start_timesteps:
+            action = env.action_space.sample()
+        else:
+            action = (
+                policy.select_action(np.array(state))
+                + rng.normal(0, max_action * expl_noise, size=action_dim)
+            ).clip(-max_action, max_action)
+
+        next_state, reward, done, info = _step(env, action)
+        done_bool = float(done) if episode_timesteps < env._max_episode_steps else 0.0
+        replay_buffer.add(state, action, next_state, reward, done_bool)
+        state = next_state
+        logger.step(None, None, reward, None,
+                    episode_timesteps >= env._max_episode_steps, info)
+
+        if t >= start_timesteps:
+            policy.train(replay_buffer, batch_size, rng)
+
+        if done or episode_timesteps >= env._max_episode_steps:
+            state, done = _reset(env), False
+            episode_timesteps = 0
+            episode_num += 1
+            logger.reset()
+            if episode_num % eval_freq == 0:
+                eval_policy(policy, env, old_args.seed)
+
+    policy.save(os.path.join(path, "model"))
+    return policy

@@ -6,14 +6,13 @@ hand-written recompute-then-grad backward (substep_grad, 260-278) is replaced
 by jax.checkpoint over the per-env-step substep scan, which recomputes the
 same intermediates.
 
-TPU notes:
-- The p2g scatter uses a single fused 4-channel scatter-add over flattened
-  grid indices (deterministic on XLA, unlike Taichi's atomics).
+TPU design:
+- Particle<->grid transfers use the dense separable Khatri-Rao matmul
+  formulation on a cropped grid (engine/transfer.py) — MXU matmuls instead of
+  random-access scatter/gather, deterministic and differentiable (and ~10x
+  faster than XLA scatter on TPU).
 - All particle ops are elementwise over the particle batch (VPU); no
   data-dependent control flow — jnp.where everywhere.
-- Grid indices are clipped to the valid range; the position clamp
-  (g2p, reference :242) keeps particles in [0, 1-3dx] so clipping is inert
-  in normal operation (the reference relies on the same invariant).
 """
 from __future__ import annotations
 
@@ -22,49 +21,31 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+# TPU matmuls default to one bf16 pass; physics needs full f32
+# accumulate-and-multiply (Precision.HIGHEST = 6-pass on TPU).
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 import numpy as np
 
 from ..config.spec import SceneSpec
 from . import primitives as prim
 from .state import Controls, Materials, SimState
 from .svd3 import svd3
+from .transfer import (
+    axis_weights, crop_size, g2p_dense, grid_m_dense, kr_factors, p2g_dense,
+)
 
 __all__ = [
     "substep", "env_step", "compute_grid_m", "make_controls",
+    "von_mises_project", "stress_affine", "grid_op",
 ]
 
-_OFFSETS = np.array(
-    [[i, j, k] for i in range(3) for j in range(3) for k in range(3)],
-    dtype=np.int32,
-)  # (27, 3)
 
-
-def _spline_weights(x, inv_dx):
-    """Quadratic B-spline weights (reference p2g :160-163).
-
-    Returns base (n,3) int32, fx (n,3), w (n,3taps,3dims).
-    """
-    base = jnp.floor(x * inv_dx - 0.5).astype(jnp.int32)
-    fx = x * inv_dx - base.astype(x.dtype)
-    w = jnp.stack(
-        [0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2],
-        axis=1,
-    )
-    return base, fx, w
-
-
-def _tap_weights(w):
-    """(n,3,3) per-dim weights -> (n,27) combined stencil weights."""
-    return jnp.einsum("ni,nj,nk->nijk", w[:, :, 0], w[:, :, 1], w[:, :, 2]).reshape(
-        w.shape[0], 27
-    )
-
-
-def _flat_indices(base, n_grid):
-    """(n,3) base -> (n,27) flattened, clipped grid indices."""
-    idx = base[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]
-    idx = jnp.clip(idx, 0, n_grid - 1)
-    return (idx[..., 0] * n_grid + idx[..., 1]) * n_grid + idx[..., 2]
+def _det3(m):
+    return jnp.sum(jnp.cross(m[..., 0, :], m[..., 1, :]) * m[..., 2, :], axis=-1)
 
 
 def von_mises_project(F_tmp, U, sig, V, yield_stress, mu):
@@ -79,62 +60,81 @@ def von_mises_project(F_tmp, U, sig, V, yield_stress, mu):
 
     eps_proj = eps - (delta_gamma / eps_hat_norm)[..., None] * eps_hat
     sig_proj = jnp.exp(eps_proj)
-    F_proj = jnp.einsum("...ij,...j,...kj->...ik", U, sig_proj, V)
+    F_proj = _einsum("...ij,...j,...kj->...ik", U, sig_proj, V)
     return jnp.where(yields[..., None, None], F_proj, F_tmp).astype(dtype)
 
 
-def p2g(scene: SceneSpec, mats: Materials, x, v, C, F):
-    """Particle->grid transfer. Returns (grid_v_in (G^3,3), grid_m (G^3,),
-    new_F (n,3,3))."""
-    sim = scene.simulator
-    dtype = x.dtype
-    n_grid = sim.n_grid
+def stress_affine(scene: SceneSpec, mats: Materials, C, F):
+    """F-update + plasticity + stress + APIC affine. Dispatches to the fused
+    Pallas kernel on TPU (f32, scalar materials); jnp otherwise. The Pallas
+    path keeps the jnp VJP (with the damped SVD backward)."""
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and F.dtype == jnp.float32
+        and mats.mu.ndim == 0
+    )
+    if use_pallas:
+        return _stress_affine_pallas_vjp(scene, mats)(C, F)
+    return stress_affine_jnp(scene, mats, C, F)
 
-    F_tmp = jnp.einsum("nij,njk->nik", jnp.eye(3, dtype=dtype) + sim.dt * C, F)
+
+_PALLAS_CACHE = {}
+
+
+def _stress_affine_pallas_vjp(scene: SceneSpec, mats: Materials):
+    key = (scene.simulator, float(mats.mu), float(mats.lam),
+           float(mats.yield_stress))
+    if key in _PALLAS_CACHE:
+        return _PALLAS_CACHE[key]
+    from .pallas_stress import stress_affine_pallas, stress_affine_pallas_bwd
+
+    @jax.custom_vjp
+    def fn(C, F):
+        return stress_affine_pallas(scene, mats, C, F)
+
+    def fwd(C, F):
+        return stress_affine_pallas(scene, mats, C, F), (C, F)
+
+    def bwd(res, ct):
+        C, F = res
+        gNewF, gAffine = ct
+        return stress_affine_pallas_bwd(scene, mats, C, F, gNewF, gAffine)
+
+    fn.defvjp(fwd, bwd)
+    _PALLAS_CACHE[key] = fn
+    return fn
+
+
+def stress_affine_jnp(scene: SceneSpec, mats: Materials, C, F):
+    """F-update + plasticity + Cauchy-like stress + APIC affine matrix
+    (reference p2g :158-174). Returns (new_F, affine)."""
+    sim = scene.simulator
+    dtype = F.dtype
+    F_tmp = _einsum("nij,njk->nik", jnp.eye(3, dtype=dtype) + sim.dt * C, F)
     U, sig, V = svd3(F_tmp)
     new_F = von_mises_project(F_tmp, U, sig, V, mats.yield_stress, mats.mu)
 
     J = _det3(new_F)
-    r = jnp.einsum("nij,nkj->nik", U, V)
+    r = _einsum("nij,nkj->nik", U, V)
     mu = jnp.reshape(mats.mu, (-1, 1, 1)) if mats.mu.ndim else mats.mu
     lam = jnp.reshape(mats.lam, (-1, 1, 1)) if mats.lam.ndim else mats.lam
-    stress = 2.0 * mu * jnp.einsum("nij,nkj->nik", new_F - r, new_F) + jnp.eye(
+    stress = 2.0 * mu * _einsum("nij,nkj->nik", new_F - r, new_F) + jnp.eye(
         3, dtype=dtype
     ) * (lam * (J * (J - 1.0))[..., None, None])
     stress = (-sim.dt * sim.p_vol * 4 * sim.inv_dx * sim.inv_dx) * stress
     affine = stress + sim.p_mass * C
-
-    base, fx, w = _spline_weights(x, sim.inv_dx)
-    wijk = _tap_weights(w)  # (n, 27)
-    offs = jnp.asarray(_OFFSETS, dtype=dtype)
-    dpos = (offs[None, :, :] - fx[:, None, :]) * sim.dx  # (n,27,3)
-    mom = sim.p_mass * v[:, None, :] + jnp.einsum("nab,nob->noa", affine, dpos)
-
-    vals = jnp.concatenate(
-        [wijk[..., None] * mom, (wijk * sim.p_mass)[..., None]], axis=-1
-    )  # (n,27,4)
-    flat = _flat_indices(base, n_grid).reshape(-1)
-    grid4 = jnp.zeros((n_grid**3, 4), dtype=dtype).at[flat].add(
-        vals.reshape(-1, 4)
-    )
-    return grid4[:, :3], grid4[:, 3], new_F
+    return new_F, affine
 
 
-def _det3(m):
-    return jnp.sum(jnp.cross(m[..., 0, :], m[..., 1, :]) * m[..., 2, :], axis=-1)
-
-
-def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness, dt_override=None):
-    """Grid momentum update: mass-normalize, gravity, primitive collisions,
-    wall/ground boundaries (reference grid_op :189-221).
-
-    pose_f / pose_f1 are (prim_pos, prim_rot, prim_gap) tuples at the current
-    and next substep (collider velocity needs both, primive_base.py:82-89).
-    """
+def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness,
+            D: int, off):
+    """Grid momentum update on the D^3 crop: mass-normalize, gravity,
+    primitive collisions, wall/ground boundaries (reference grid_op :189-221).
+    `off` (3,) int32 is the crop's global cell offset."""
     sim = scene.simulator
     dtype = grid_v_in.dtype
     G = sim.n_grid
-    dt = sim.dt if dt_override is None else dt_override
+    dt = sim.dt
 
     mask = grid_m > 1e-12
     m_safe = jnp.where(mask, grid_m, jnp.ones_like(grid_m))
@@ -142,11 +142,10 @@ def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness, dt_o
     gravity = jnp.asarray(sim.gravity, dtype=dtype)
     v = v + dt * gravity * 30.0
 
-    # world position of each node, flattened in the same (x*G+y)*G+z order
-    ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0).reshape(-1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1).reshape(-1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2).reshape(-1)
-    coords = jnp.stack([ii, jj, kk], axis=-1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 0).reshape(-1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 1).reshape(-1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 2).reshape(-1)
+    coords = jnp.stack([ii, jj, kk], axis=-1) + off[None, :]  # global cells
     grid_pos = coords.astype(dtype) * sim.dx
 
     pos_f, rot_f, gap_f = pose_f
@@ -183,33 +182,17 @@ def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness, dt_o
     return jnp.where(mask[:, None], v, jnp.zeros_like(v))
 
 
-def g2p(scene: SceneSpec, grid_v_out, x, dt_override=None):
-    """Grid->particle gather + advection (reference g2p :223-243).
-    Returns (new_x, new_v, new_C)."""
-    sim = scene.simulator
-    dtype = x.dtype
-    dt = sim.dt if dt_override is None else dt_override
-
-    base, fx, w = _spline_weights(x, sim.inv_dx)
-    wijk = _tap_weights(w)
-    flat = _flat_indices(base, sim.n_grid)
-    g_v = grid_v_out[flat]  # (n,27,3)
-    offs = jnp.asarray(_OFFSETS, dtype=dtype)
-    dpos = offs[None, :, :] - fx[:, None, :]  # grid units (no dx), ref :232
-
-    new_v = jnp.sum(wijk[..., None] * g_v, axis=1)
-    new_C = 4.0 * sim.inv_dx * jnp.einsum("no,noa,nob->nab", wijk, g_v, dpos)
-    new_x = jnp.maximum(
-        jnp.minimum(x + dt * new_v, 1.0 - 3 * sim.dx), 0.0
-    )
-    return new_x, new_v, new_C
-
-
 def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
             softness) -> SimState:
     """One MLS-MPM substep (reference substep :245-257): p2g, primitive FK,
-    grid ops with collision, g2p."""
-    grid_v_in, grid_m, new_F = p2g(scene, mats, state.x, state.v, state.C, state.F)
+    grid ops with collision, g2p + advection."""
+    sim = scene.simulator
+    D = crop_size(scene)
+
+    new_F, affine = stress_affine(scene, mats, state.C, state.F)
+    aw = axis_weights(scene, state.x, D)
+    kr = kr_factors(aw, D)  # shared between p2g and g2p
+    grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
 
     # forward kinematics: pose at f -> f+1 (runs between p2g and grid_op)
     new_pos, new_rot, new_gap = [], [], []
@@ -232,9 +215,12 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         scene, grid_v_in, grid_m,
         (state.prim_pos, state.prim_rot, state.prim_gap),
         (prim_pos1, prim_rot1, prim_gap1),
-        softness,
+        softness, D, aw.off,
     )
-    new_x, new_v, new_C = g2p(scene, grid_v_out, state.x)
+    new_v, new_C = g2p_dense(scene, aw, grid_v_out, D, kr)
+    new_x = jnp.maximum(
+        jnp.minimum(state.x + sim.dt * new_v, 1.0 - 3 * sim.dx), 0.0
+    )
     return SimState(
         x=new_x, v=new_v, C=new_C, F=new_F,
         prim_pos=prim_pos1, prim_rot=prim_rot1, prim_gap=prim_gap1,
@@ -280,12 +266,6 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
 
 
 def compute_grid_m(scene: SceneSpec, x):
-    """Grid mass field from particle positions (reference
+    """Global grid mass field from particle positions (reference
     compute_grid_m_kernel :382-392). Returns (G^3,)."""
-    sim = scene.simulator
-    base, _, w = _spline_weights(x, sim.inv_dx)
-    wijk = _tap_weights(w) * sim.p_mass
-    flat = _flat_indices(base, sim.n_grid).reshape(-1)
-    return jnp.zeros((sim.n_grid**3,), dtype=x.dtype).at[flat].add(
-        wijk.reshape(-1)
-    )
+    return grid_m_dense(scene, x, crop_size(scene))

@@ -18,6 +18,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+
+# TPU matmuls default to one bf16 pass; physics needs full f32
+# accumulate-and-multiply (Precision.HIGHEST = 6-pass on TPU).
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
 __all__ = ["svd3"]
 
 _N_SWEEPS = 6  # cyclic Jacobi sweeps; 3x3 converges quadratically
@@ -33,11 +40,30 @@ def _jacobi_rotation(a, v, p, q):
     """
     r = 3 - p - q  # the untouched third index
     app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
-    # Rotation angle zeroing a_pq: tan(2t) = 2*apq/(aqq-app). atan2 is
-    # overflow-free and returns 0 at apq ~ 0, in f32 and f64 alike.
-    theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
+    # Rotation zeroing a_pq: tan(2t) = 2*apq/(aqq-app). Computed via the
+    # algebraic half-angle identities (sqrt only — TPU transcendentals
+    # (atan2/sin/cos) are too low-precision in f32 and wreck convergence):
+    #   cos(2t) = (aqq-app)/r, sin(2t) = 2*apq/r, r = hypot(...)
+    #   c = sqrt((1+cos2t)/2) >= 0, s = sign(sin2t)*sqrt((1-cos2t)/2)
+    y = 2.0 * apq
+    z = aqq - app
+    rad2 = y * y + z * z
+    # apq == 0 -> nothing to zero: use the identity rotation.
+    ok = jnp.abs(y) > 0
+    rinv = jax.lax.rsqrt(jnp.where(rad2 > 0, rad2, jnp.ones_like(rad2)))
+    cos2t = z * rinv
+    sin2t = y * rinv
+    # Stable half-angles: compute the larger of (c, s) from its sqrt form and
+    # derive the other from sin2t = 2 c s — avoids the catastrophic
+    # cancellation in sqrt((1 +/- cos2t)/2) when |cos2t| ~ 1.
+    c_raw = jnp.sqrt(jnp.maximum((1.0 + cos2t) * 0.5, 1e-30))
+    s_raw = jnp.sqrt(jnp.maximum((1.0 - cos2t) * 0.5, 1e-30))
+    pos_branch = cos2t >= 0
+    c = jnp.where(pos_branch, c_raw, jnp.abs(sin2t) * 0.5 / s_raw)
+    s = jnp.where(pos_branch, sin2t * 0.5 / c_raw,
+                  jnp.sign(sin2t) * s_raw)
+    c = jnp.where(ok, c, jnp.ones_like(c))
+    s = jnp.where(ok, s, jnp.zeros_like(s))
     cc, ss, cs = c * c, s * s, c * s
 
     apr = a[(min(p, r), max(p, r))]
@@ -101,7 +127,7 @@ def _safe_normalize(v, fallback):
 
 
 def _svd3_fwd_impl(F):
-    A = jnp.einsum("...ji,...jk->...ik", F, F)  # F^T F, symmetric PSD
+    A = _einsum("...ji,...jk->...ik", F, F)  # F^T F, symmetric PSD
     w, V = _symm_eig3(A)
     w, V = _sort_desc(w, V)
 
@@ -112,7 +138,7 @@ def _svd3_fwd_impl(F):
     )
     V = V.at[..., :, 2].multiply(jnp.where(detV < 0, -1.0, 1.0)[..., None])
 
-    FV = jnp.einsum("...ij,...jk->...ik", F, V)  # columns ~ sigma_i * u_i
+    FV = _einsum("...ij,...jk->...ik", F, V)  # columns ~ sigma_i * u_i
     batch = F.shape[:-2]
     e0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], F.dtype), batch + (3,))
     e1 = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], F.dtype), batch + (3,))
@@ -131,13 +157,33 @@ def _svd3_fwd_impl(F):
     U = jnp.stack([u0, u1, u2], axis=-1)
     # Recover signed singular values: sigma_i = u_i . (F v_i). With
     # det(U)=det(V)=+1 the sign lands on the smallest one (McAdams).
-    sig = jnp.einsum("...ik,...ik->...k", FV, U)
+    sig = _einsum("...ik,...ik->...k", FV, U)
     return U, sig, V
 
 
 def _clamp_gap(a):
     """Reference `clamp` (mpm_simulator.py:143-151): keep |a| >= 1e-6."""
     return jnp.where(a >= 0, jnp.maximum(a, 1e-6), jnp.minimum(a, -1e-6))
+
+
+# Backward eigengap handling. The reference hard-clamps the inverse gap at
+# 1e-6 — adequate in its float64 sim, but in float32 the resulting ~1e6
+# amplification of rounding noise at (near-)repeated singular values compounds
+# exponentially through multi-step rollouts. 'damped' replaces 1/clamp(gap)
+# with the Lorentzian gap/(gap^2 + eps^2): identical for well-separated
+# singular values, bounded by 1/(2*eps) at degeneracy.
+_GAP_MODE = "damped"     # "reference" | "damped" | "zero"
+_GAP_EPS = 1e-3          # float32 damping
+_GAP_EPS_F64 = 1e-6      # float64: matches the reference clamp scale
+
+
+def set_vjp_gap_mode(mode: str, eps: float = 1e-2):
+    """Configure the SVD backward's eigengap regularization (global; takes
+    effect for traces compiled afterwards)."""
+    global _GAP_MODE, _GAP_EPS
+    assert mode in ("reference", "damped", "zero")
+    _GAP_MODE = mode
+    _GAP_EPS = eps
 
 
 @jax.custom_vjp
@@ -158,22 +204,28 @@ def _svd3_vjp_bwd(res, cotangents):
 
     s = sig * sig
     gap = s[..., None, :] - s[..., :, None]        # gap[i,j] = s_j - s_i
-    Fm = 1.0 / _clamp_gap(gap)
+    if _GAP_MODE == "reference":
+        Fm = 1.0 / _clamp_gap(gap)
+    elif _GAP_MODE == "damped":
+        eps = _GAP_EPS if dtype == jnp.float32 else _GAP_EPS_F64
+        Fm = gap / (gap * gap + eps * eps)
+    else:  # "zero": ablation — drop the U/V rotation terms entirely
+        Fm = jnp.zeros_like(gap)
     eye = jnp.eye(3, dtype=dtype)
     Fm = Fm * (1.0 - eye)                           # zero the diagonal
 
     Ut = jnp.swapaxes(U, -1, -2)
     Vt = jnp.swapaxes(V, -1, -2)
 
-    sigma_term = jnp.einsum("...ij,...j,...jk->...ik", U, gsig, Vt)
+    sigma_term = _einsum("...ij,...j,...jk->...ik", U, gsig, Vt)
 
-    UtgU = jnp.einsum("...ij,...jk->...ik", Ut, gU)
+    UtgU = _einsum("...ij,...jk->...ik", Ut, gU)
     inner_u = Fm * (UtgU - jnp.swapaxes(UtgU, -1, -2))
-    u_term = jnp.einsum("...ij,...jk,...k,...kl->...il", U, inner_u, sig, Vt)
+    u_term = _einsum("...ij,...jk,...k,...kl->...il", U, inner_u, sig, Vt)
 
-    VtgV = jnp.einsum("...ij,...jk->...ik", Vt, gV)
+    VtgV = _einsum("...ij,...jk->...ik", Vt, gV)
     inner_v = Fm * (VtgV - jnp.swapaxes(VtgV, -1, -2))
-    v_term = jnp.einsum("...ij,...j,...jk,...kl->...il", U, sig, inner_v, Vt)
+    v_term = _einsum("...ij,...j,...jk,...kl->...il", U, sig, inner_v, Vt)
 
     return (u_term + v_term + sigma_term,)
 

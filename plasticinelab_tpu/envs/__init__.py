@@ -32,9 +32,20 @@ def make(env_name: str, nn: bool = False, sdf_loss: float = 10,
          density_loss: float = 10, contact_loss: float = 1,
          soft_contact_loss: bool = False, max_episode_steps: int = 50):
     try:
-        from gymnasium.wrappers import TimeLimit
+        from gymnasium.wrappers import TimeLimit as _TimeLimit
     except ImportError:  # pragma: no cover
-        from gym.wrappers import TimeLimit
+        from gym.wrappers import TimeLimit as _TimeLimit
+
+    class TimeLimit(_TimeLimit):
+        """Forwards render(mode=...) like the classic gym API — the reference
+        code calls env.render(mode='rgb_array') through wrappers
+        (plb/optimizer/solver.py:99)."""
+
+        def render(self, *args, **kwargs):
+            return self.env.render(*args, **kwargs)
+
+        def seed(self, seed=None):
+            return self.env.seed(seed)
 
     task, version = _parse(env_name)
     scene = PlasticineEnv._load_scene(f"{task}.yml", version)

@@ -1,0 +1,122 @@
+"""RL algorithm unit tests: update steps move parameters and stay finite."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plasticinelab_tpu.algorithms.common import ReplayBuffer
+
+
+def _fill_buffer(state_dim, act_dim, n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    buf = ReplayBuffer(state_dim, act_dim, max_size=1000)
+    for _ in range(n):
+        buf.add(
+            rng.standard_normal(state_dim), rng.uniform(-1, 1, act_dim),
+            rng.standard_normal(state_dim), rng.standard_normal(), 0.0,
+        )
+    return buf
+
+
+def test_replay_buffer_ring():
+    buf = ReplayBuffer(3, 2, max_size=10)
+    for i in range(25):
+        buf.add(np.full(3, i), np.zeros(2), np.zeros(3), float(i), 0.0)
+    assert buf.size == 10
+    s, a, ns, r, nd = buf.sample(32, np.random.default_rng(0))
+    assert s.shape == (32, 3) and r.min() >= 15  # only the last 10 remain
+
+
+def test_td3_update():
+    from plasticinelab_tpu.algorithms.td3.td3 import TD3
+
+    policy = TD3(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    p0 = jax.tree.leaves(policy.state.critic)[0].copy()
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        loss = policy.train(buf, batch_size=32, rng=rng)
+    assert np.isfinite(loss)
+    assert not np.allclose(p0, jax.tree.leaves(policy.state.critic)[0])
+    a = policy.select_action(np.zeros(8, np.float32))
+    assert a.shape == (3,) and np.all(np.abs(a) <= 1.0)
+
+
+def test_ddpg_update():
+    from plasticinelab_tpu.algorithms.td3.ddpg import DDPG
+
+    policy = DDPG(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    loss = policy.train(buf, batch_size=32, rng=np.random.default_rng(1))
+    assert np.isfinite(loss)
+
+
+def test_sac_update_and_entropy_tuning():
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+
+    algo = SAC(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    la0 = float(algo.state.log_alpha)
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        loss = algo.update(buf, batch_size=32, rng=rng)
+    assert np.isfinite(loss)
+    assert float(algo.state.log_alpha) != la0  # alpha is being tuned
+    a = algo.explore(np.zeros(8, np.float32))
+    assert a.shape == (3,) and np.all(np.abs(a) <= 1.0)
+    d = algo.exploit(np.zeros(8, np.float32))
+    assert np.all(np.abs(d) <= 1.0)
+
+
+def test_discor_update():
+    from plasticinelab_tpu.algorithms.sac.discor import DisCor
+
+    algo = DisCor(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    loss = algo.update(buf, batch_size=32, rng=np.random.default_rng(3))
+    assert np.isfinite(loss)
+    assert np.isfinite(float(algo.dstate.tau1))
+
+
+def test_ppo_update():
+    from plasticinelab_tpu.algorithms.ppo.ppo import PPO
+
+    agent = PPO(state_dim=8, action_dim=3, num_mini_batch=4)
+    rng = np.random.default_rng(4)
+    n = 64
+    rollouts = {
+        "obs": rng.standard_normal((n, 8)).astype(np.float32),
+        "actions": rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        "logp": rng.standard_normal(n).astype(np.float32),
+        "returns": rng.standard_normal(n).astype(np.float32),
+        "values": rng.standard_normal(n).astype(np.float32),
+    }
+    loss = agent.update(rollouts, rng)
+    assert np.isfinite(loss)
+    a, logp, v = agent.act(np.zeros(8, np.float32))
+    assert a.shape == (3,) and np.isfinite(logp) and np.isfinite(v)
+
+
+def test_mlp_policy_roundtrip():
+    from plasticinelab_tpu.config.spec import (
+        PrimitiveSpec, SceneSpec, SimulatorSpec,
+    )
+    from plasticinelab_tpu.engine.nn import MLPPolicy
+    from plasticinelab_tpu.engine.state import initial_state
+
+    scene = SceneSpec(
+        simulator=SimulatorSpec(quality=0.25, n_particles=400, dtype="float64"),
+        primitives=(PrimitiveSpec(shape="Sphere", radius=0.05,
+                                  action_dim=3, action_scale=(0.01,) * 3),),
+    )
+    policy = MLPPolicy(scene, hidden_dims=(32, 32))
+    params = policy.init_params(dtype=jnp.float64)
+    flat = policy.get_params(params)
+    params2 = policy.set_params(flat, dtype=jnp.float64)
+    # round-trip exactness (reference solver_nn.py:110-111 asserts < 1e-9)
+    assert np.abs(policy.get_params(params2) - flat).max() < 1e-12
+
+    rng = np.random.default_rng(0)
+    state = initial_state(scene, rng.random((400, 3)) * 0.2 + 0.4)
+    action = policy.act(params, state)
+    assert action.shape == (scene.action_dim,)
+    assert np.all(np.abs(np.asarray(action)) <= 1.0)
