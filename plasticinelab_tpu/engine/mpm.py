@@ -71,6 +71,7 @@ def stress_affine(scene: SceneSpec, mats: Materials, C, F):
     use_pallas = (
         jax.default_backend() == "tpu"
         and F.dtype == jnp.float32
+        and not jax.config.jax_enable_x64   # Mosaic rejects i64 under x64
         and mats.mu.ndim == 0
     )
     if use_pallas:

