@@ -259,6 +259,11 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
     dtype = state.x.dtype
     ctrl = make_controls(scene, action, dtype)
 
+    # Per-substep remat: without it, an env step's backward materializes all
+    # `substeps` copies of the transfer intermediates (the (n, D^2) Khatri-Rao
+    # factors dominate) at once — ~1.2 GB per env on Move-v1, which forbids
+    # batching. With it, peak memory is one substep's intermediates.
+    @jax.checkpoint
     def body(s, _):
         return substep(scene, mats, s, ctrl, softness), None
 

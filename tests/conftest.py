@@ -7,16 +7,21 @@ library code always passes explicit dtypes and works in both modes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# This machine pre-imports jax from a sitecustomize.py before ANY user code
+# runs, with JAX_PLATFORMS=axon (the real TPU) baked into the config default —
+# so setting env vars here is too late for the platform choice. The backends
+# are not initialized yet, though, so jax.config.update still works; XLA_FLAGS
+# is read lazily at CPU-client creation, so the env var still works for the
+# virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # This machine has a single CPU core and XLA-CPU compiles slowly; persist
 # compiled executables across test runs.

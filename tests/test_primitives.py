@@ -78,11 +78,12 @@ def test_chopsticks_two_sticks():
     pos = jnp.asarray([0.5, 0.5, 0.5])
     rot = jnp.asarray([1.0, 0.0, 0.0, 0.0])
     gap = jnp.asarray(0.1)
-    # points at the two stick centers are inside; midpoint is outside
-    left = jnp.asarray([0.45, 0.5 + spec.h / 2, 0.5])
-    mid = jnp.asarray([0.5, 0.5 + spec.h / 2, 0.5])
-    assert float(P.sdf(spec, pos, rot, gap, left)) < 0
-    assert float(P.sdf(spec, pos, rot, gap, mid)) > 0
+    # the sticks occupy local y in [-h, 0] at x = +/- gap/2
+    # (chopsticks sdf shifts by (0, -h/2, 0) then min of two capsules)
+    inside_stick = jnp.asarray([0.5 + 0.05, 0.5 - spec.h / 2, 0.5])
+    between = jnp.asarray([0.5, 0.5 - spec.h / 2, 0.5])
+    assert float(P.sdf(spec, pos, rot, gap, inside_stick)) < 0
+    assert float(P.sdf(spec, pos, rot, gap, between)) > 0
 
 
 def test_collide_pushes_matter_out():
@@ -91,12 +92,18 @@ def test_collide_pushes_matter_out():
                          action_dim=3, action_scale=(0.01,) * 3)
     pos = jnp.asarray([0.5, 0.5, 0.5])
     rot = jnp.asarray([1.0, 0.0, 0.0, 0.0])
-    gp = jnp.asarray([[0.5, 0.62, 0.5]])  # just above the sphere
+    # within the softness influence shell: exp(-666*d) > 0.1 needs d < 3.5e-3
+    gp = jnp.asarray([[0.5, 0.602, 0.5]])
     v_in = jnp.asarray([[0.0, -1.0, 0.0]])  # moving down into it
     v_out = P.collide(spec, pos, rot, 0.0, pos, rot,
                       jnp.asarray(0.9), jnp.asarray(666.0), gp, v_in, 1e-4)
     # normal component toward the sphere must be damped
     assert float(v_out[0, 1]) > float(v_in[0, 1]) + 0.05
+    # far outside the influence shell: velocity untouched
+    gp_far = jnp.asarray([[0.5, 0.7, 0.5]])
+    v_far = P.collide(spec, pos, rot, 0.0, pos, rot,
+                      jnp.asarray(0.9), jnp.asarray(666.0), gp_far, v_in, 1e-4)
+    np.testing.assert_array_equal(np.asarray(v_far), np.asarray(v_in))
 
 
 def test_forward_kinematics_clamps_and_normalizes():
@@ -117,11 +124,13 @@ def test_rollingpin_rolls():
     spec = PrimitiveSpec(shape="RollingPin", h=0.2, r=0.02, action_dim=3,
                          action_scale=(1.0, 1.0, 1.0))
     pos = jnp.asarray([0.5, 0.5, 0.5])
-    rot = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    # lay the pin horizontally (axis along x): 90deg rotation about z
+    s2 = np.sqrt(0.5)
+    rot = jnp.asarray([s2, 0.0, 0.0, s2])
     v = jnp.asarray([0.3, 0.0, -0.01])  # dw (roll), dth, dy
     np_, nr_, _ = P.forward_kinematics(spec, pos, rot, jnp.asarray(0.0), v,
                                        jnp.zeros(3), jnp.asarray(0.0))
     # rolling moves it horizontally and descends by dy
     assert abs(float(np_[0] - pos[0])) + abs(float(np_[2] - pos[2])) > 1e-4
     assert float(np_[1]) == pytest.approx(0.49, abs=1e-6)
-    assert abs(float(nr_[2])) > 1e-3  # rotated about y
+    assert float(jnp.max(jnp.abs(nr_ - rot))) > 1e-3  # rotated by dw

@@ -92,6 +92,10 @@ def test_svd3_dtypes(dtype):
     U, sig, V = svd3(F)
     assert U.dtype == sig.dtype == V.dtype == dtype
     # f32 accuracy is limited by the F^T F condition-squaring (~eps*kappa^2)
-    tol = 2e-3 if dtype == jnp.float32 else 1e-9
-    recon = jnp.einsum("nij,nj,nkj->nik", U, sig, V)
-    np.testing.assert_allclose(np.asarray(recon), np.asarray(F), atol=tol)
+    tol = 1e-4 if dtype == jnp.float32 else 1e-9
+    # reconstruct on the host: XLA-CPU's oneDNN matmul path is itself
+    # reduced-precision under some flags and would dominate the error
+    recon = np.einsum(
+        "nij,nj,nkj->nik", np.asarray(U), np.asarray(sig), np.asarray(V)
+    )
+    np.testing.assert_allclose(recon, np.asarray(F), atol=tol)
