@@ -245,6 +245,16 @@ class PhysicsEnv:
             np.asarray(self.state.prim_gap), **kwargs,
         )
         img = np.uint8(np.clip(img, 0, 1) * 255)
+        if mode == "human":  # reference taichi_env.py:68-70
+            import cv2
+
+            cv2.imshow("x", img[..., ::-1])
+            cv2.waitKey(1)
+        elif mode == "plt":
+            import matplotlib.pyplot as plt
+
+            plt.imshow(img)
+            plt.show()
         return img
 
 
