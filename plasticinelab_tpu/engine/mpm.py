@@ -190,10 +190,26 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
     sim = scene.simulator
     D = crop_size(scene)
 
+    use_pallas_transfer = (
+        jax.default_backend() == "tpu"
+        and state.x.dtype == jnp.float32
+        and not jax.config.jax_enable_x64
+    )
+
     new_F, affine = stress_affine(scene, mats, state.C, state.F)
-    aw = axis_weights(scene, state.x, D)
-    kr = kr_factors(aw, D)  # shared between p2g and g2p
-    grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
+    if use_pallas_transfer:
+        from .pallas_transfer import transfer_fns
+        from .transfer import crop_offset
+
+        p2g_fn, g2p_fn = transfer_fns(scene, D)
+        off = crop_offset(scene, state.x, D)
+        off_f = off.astype(state.x.dtype)
+        grid_v_in, grid_m = p2g_fn(state.x, state.v, affine, off_f)
+    else:
+        aw = axis_weights(scene, state.x, D)
+        kr = kr_factors(aw, D)  # shared between p2g and g2p
+        off = aw.off
+        grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
 
     # forward kinematics: pose at f -> f+1 (runs between p2g and grid_op)
     new_pos, new_rot, new_gap = [], [], []
@@ -216,9 +232,12 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         scene, grid_v_in, grid_m,
         (state.prim_pos, state.prim_rot, state.prim_gap),
         (prim_pos1, prim_rot1, prim_gap1),
-        softness, D, aw.off,
+        softness, D, off,
     )
-    new_v, new_C = g2p_dense(scene, aw, grid_v_out, D, kr)
+    if use_pallas_transfer:
+        new_v, new_C = g2p_fn(state.x, grid_v_out, off_f)
+    else:
+        new_v, new_C = g2p_dense(scene, aw, grid_v_out, D, kr)
     new_x = jnp.maximum(
         jnp.minimum(state.x + sim.dt * new_v, 1.0 - 3 * sim.dx), 0.0
     )

@@ -82,16 +82,24 @@ class AxisWeights(NamedTuple):
     px: jnp.ndarray   # (n, 3) particle position in grid units (x * inv_dx)
 
 
-def axis_weights(scene: SceneSpec, x: jnp.ndarray, D: int) -> AxisWeights:
+def crop_offset(scene: SceneSpec, x: jnp.ndarray, D: int) -> jnp.ndarray:
+    """(3,) int32 crop offset: center the crop on the cloud, clipped."""
+    sim = scene.simulator
+    base = jnp.floor(x * sim.inv_dx - 0.5).astype(jnp.int32)
+    center = (jnp.min(base, axis=0) + jnp.max(base, axis=0)) // 2
+    return jnp.clip(center - D // 2, 0, sim.n_grid - D)
+
+
+def axis_weights(scene: SceneSpec, x: jnp.ndarray, D: int,
+                 off: jnp.ndarray = None) -> AxisWeights:
     sim = scene.simulator
     G = sim.n_grid
     dtype = x.dtype
     px = x * sim.inv_dx
     base = jnp.floor(px - 0.5).astype(jnp.int32)  # (n,3) global base cell
 
-    # crop offset: center the crop on the cloud (clipped to the domain)
-    center = (jnp.min(base, axis=0) + jnp.max(base, axis=0)) // 2
-    off = jnp.clip(center - D // 2, 0, G - D)
+    if off is None:
+        off = crop_offset(scene, x, D)
     base_rel = jnp.clip(base - off[None, :], 0, D - 3)
 
     fx = px - base.astype(dtype)
