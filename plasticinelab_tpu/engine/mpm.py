@@ -194,6 +194,7 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         jax.default_backend() == "tpu"
         and state.x.dtype == jnp.float32
         and not jax.config.jax_enable_x64
+        and D <= 48  # larger crops exceed VMEM in the fused transfer kernels
     )
 
     new_F, affine = stress_affine(scene, mats, state.C, state.F)

@@ -26,7 +26,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_P = 512  # particles per chunk (HIGHEST-precision dots need VMEM headroom)
+def _chunk(D: int) -> int:
+    """Particles per chunk: the KR tile (D^2, P) plus HIGHEST-precision dot
+    temporaries must fit VMEM (~15 MB works at D=40/P=512; scale by D^-2)."""
+    p = int(512 * (40.0 / D) ** 2)
+    return max(128, (p // 128) * 128)
 
 
 def _weights_T(px, base_rel, D, dtype):
@@ -183,7 +187,8 @@ def p2g_pallas(scene, x, v, affine, off, D):
     sim = scene.simulator
     n = x.shape[0]
     dtype = x.dtype
-    n_pad = ((n + _P - 1) // _P) * _P
+    P = _chunk(D)
+    n_pad = ((n + P - 1) // P) * P
     mask = jnp.ones((1, n), dtype)
     rows = _pad_particles(
         [x[:, 0], x[:, 1], x[:, 2], v[:, 0], v[:, 1], v[:, 2]]
@@ -197,10 +202,10 @@ def p2g_pallas(scene, x, v, affine, off, D):
     )
     out = pl.pallas_call(
         kern,
-        grid=(n_pad // _P,),
+        grid=(n_pad // P,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, _P), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, P), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4 * D, D * D), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -216,7 +221,8 @@ def g2p_pallas(scene, x, grid_v, off, D):
     sim = scene.simulator
     n = x.shape[0]
     dtype = x.dtype
-    n_pad = ((n + _P - 1) // _P) * _P
+    P = _chunk(D)
+    n_pad = ((n + P - 1) // P) * P
     rows = _pad_particles([x[:, 0], x[:, 1], x[:, 2]], n, n_pad, dtype)
 
     # g rows: s*D + a, columns q=(b,c)
@@ -228,14 +234,14 @@ def g2p_pallas(scene, x, grid_v, off, D):
     )
     out = pl.pallas_call(
         kern,
-        grid=(n_pad // _P,),
+        grid=(n_pad // P,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, _P), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, P), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * D, D * D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((12, _P), lambda i: (0, i),
+        out_specs=pl.BlockSpec((12, P), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((12, n_pad), dtype),
     )(off, rows, g)
