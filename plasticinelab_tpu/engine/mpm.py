@@ -31,11 +31,13 @@ _einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 import numpy as np
 
 from ..config.spec import SceneSpec
+from . import local_transfer
 from . import primitives as prim
 from .state import Controls, Materials, SimState
 from .svd3 import svd3
 from .transfer import (
-    axis_weights, crop_size, g2p_dense, grid_m_dense, kr_factors, p2g_dense,
+    axis_weights, crop_offset, crop_size, g2p_dense, grid_m_dense,
+    kr_factors, p2g_dense,
 )
 
 __all__ = [
@@ -189,23 +191,29 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
     grid ops with collision, g2p + advection."""
     sim = scene.simulator
     D = crop_size(scene)
-
-    use_pallas_transfer = (
-        jax.default_backend() == "tpu"
-        and state.x.dtype == jnp.float32
-        and not jax.config.jax_enable_x64
-        and D <= 48  # larger crops exceed VMEM in the fused transfer kernels
-    )
+    use_local = local_transfer.enabled(scene, D)
 
     new_F, affine = stress_affine(scene, mats, state.C, state.F)
-    if use_pallas_transfer:
-        from .pallas_transfer import transfer_fns
-        from .transfer import crop_offset
-
-        p2g_fn, g2p_fn = transfer_fns(scene, D)
+    if use_local:
+        # Locality-chunked transfer with a dense fallback: the `ok` flag is
+        # true iff every particle chunk fits its static window (see
+        # local_transfer.py); when material spreads past the windows the
+        # substep falls back to the dense crop transfer — same math, more
+        # FLOPs — so the fast path is never a correctness assumption.
+        plan = local_transfer.plan_for(scene, D)
         off = crop_offset(scene, state.x, D)
-        off_f = off.astype(state.x.dtype)
-        grid_v_in, grid_m = p2g_fn(state.x, state.v, affine, off_f)
+        ctx = local_transfer.chunk_offsets(scene, plan, state.x, off, D)
+
+        def _p2g_loc(x, v, aff):
+            return local_transfer.p2g_local(scene, plan, x, v, aff, ctx, off, D)
+
+        def _p2g_den(x, v, aff):
+            aw = axis_weights(scene, x, D, off=off)
+            return p2g_dense(scene, aw, v, aff, D)
+
+        grid_v_in, grid_m = jax.lax.cond(
+            ctx.ok, _p2g_loc, _p2g_den, state.x, state.v, affine
+        )
     else:
         aw = axis_weights(scene, state.x, D)
         kr = kr_factors(aw, D)  # shared between p2g and g2p
@@ -235,8 +243,17 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         (prim_pos1, prim_rot1, prim_gap1),
         softness, D, off,
     )
-    if use_pallas_transfer:
-        new_v, new_C = g2p_fn(state.x, grid_v_out, off_f)
+    if use_local:
+        def _g2p_loc(x, gv):
+            return local_transfer.g2p_local(scene, plan, x, gv, ctx, off, D)
+
+        def _g2p_den(x, gv):
+            aw = axis_weights(scene, x, D, off=off)
+            return g2p_dense(scene, aw, gv, D)
+
+        new_v, new_C = jax.lax.cond(
+            ctx.ok, _g2p_loc, _g2p_den, state.x, grid_v_out
+        )
     else:
         new_v, new_C = g2p_dense(scene, aw, grid_v_out, D, kr)
     new_x = jnp.maximum(
@@ -278,16 +295,35 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
     manipulator velocities (reference MPMSimulator.step :365-376)."""
     dtype = state.x.dtype
     ctrl = make_controls(scene, action, dtype)
+    use_local = local_transfer.enabled(scene, crop_size(scene))
+
+    if use_local:
+        # Sort particles by raster cell once per env step so consecutive
+        # chunks are spatially tight (local_transfer windows). The state is
+        # un-sorted before returning, so particle order — which is semantic
+        # for observations (x[::step]) and get_state round-trips — is
+        # preserved at env-step boundaries.
+        key = local_transfer.sort_keys(scene, state.x)
+        (x, v, C, F), order, rank = local_transfer.sort_rows(
+            key, (state.x, state.v, state.C, state.F)
+        )
+        state = state._replace(x=x, v=v, C=C, F=F)
 
     # Per-substep remat: without it, an env step's backward materializes all
-    # `substeps` copies of the transfer intermediates (the (n, D^2) Khatri-Rao
-    # factors dominate) at once — ~1.2 GB per env on Move-v1, which forbids
-    # batching. With it, peak memory is one substep's intermediates.
+    # `substeps` copies of the transfer intermediates (the Khatri-Rao
+    # factors dominate) at once, which forbids batching. With it, peak
+    # memory is one substep's intermediates.
     @jax.checkpoint
     def body(s, _):
         return substep(scene, mats, s, ctrl, softness), None
 
     state, _ = jax.lax.scan(body, state, None, length=scene.simulator.substeps)
+
+    if use_local:
+        x, v, C, F = local_transfer.unsort_rows(
+            order, rank, (state.x, state.v, state.C, state.F)
+        )
+        state = state._replace(x=x, v=v, C=C, F=F)
     return state
 
 
