@@ -185,6 +185,68 @@ def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness,
     return jnp.where(mask[:, None], v, jnp.zeros_like(v))
 
 
+def grid_op_cm(scene: SceneSpec, grid4, pose_f, pose_f1, softness, D: int,
+               off):
+    """Channel-major grid_op: grid4 (4, M) rows = momentum x/y/z + mass on
+    the D^3 crop -> (3, M) velocities. Same math as grid_op (reference
+    grid_op :189-221) re-expressed on per-component (M,) arrays so every op
+    is a full-width VPU pass (the (M, 3) form forces 3-wide minor dims)."""
+    from . import primitives_cm as pcm
+
+    sim = scene.simulator
+    dtype = grid4.dtype
+    G = sim.n_grid
+    dt = sim.dt
+
+    m = grid4[3]
+    mask = m > 1e-12
+    inv_m = 1.0 / jnp.where(mask, m, jnp.ones_like(m))
+    gravity = sim.gravity
+    v = [grid4[d] * inv_m + dt * gravity[d] * 30.0 for d in range(3)]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 0).reshape(-1) + off[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 1).reshape(-1) + off[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 2).reshape(-1) + off[2]
+    coords = (ii, jj, kk)
+    gp = tuple(c.astype(dtype) * sim.dx for c in coords)
+
+    pos_f, rot_f, gap_f = pose_f
+    pos_f1, rot_f1, _ = pose_f1
+    vt = tuple(v)
+    for i, p in enumerate(scene.primitives):
+        vt = pcm.collide_cm(
+            p, pos_f[i], rot_f[i], gap_f[i], pos_f1[i], rot_f1[i],
+            jnp.asarray(p.friction, dtype=dtype), softness, gp, vt, dt,
+        )
+    v = list(vt)
+
+    bound = 3
+    coord_f = tuple(c.astype(dtype) for c in coords)
+    zero = jnp.zeros_like(v[0])
+    for d in range(3):
+        cd = coords[d]
+        low = jnp.logical_and(cd < bound, v[d] < 0)
+        if d != 1 or sim.ground_friction == 0:
+            v[d] = jnp.where(low, zero, v[d])
+        elif sim.ground_friction < 10:
+            # Coulomb-like ground friction with the reference's 1e-30
+            # tie-breakers (grid_op :206-215)
+            lin = v[1] + 1e-30
+            vit = [v[c] - coord_f[c] * 1e-30 for c in range(3)]
+            vit[1] = vit[1] - lin
+            lit = jnp.sqrt(vit[0] ** 2 + vit[1] ** 2 + vit[2] ** 2 + 1e-8)
+            scale = jnp.maximum(1.0 + sim.ground_friction * lin / lit, 0.0)
+            fric = [scale * (vit[c] + coord_f[c] * 1e-30) for c in range(3)]
+            fric[1] = zero
+            v = [jnp.where(low, fric[c], v[c]) for c in range(3)]
+        else:
+            v = [jnp.where(low, zero, vc) for vc in v]
+        high = jnp.logical_and(cd > G - bound, v[d] > 0)
+        v[d] = jnp.where(high, zero, v[d])
+
+    return jnp.stack([jnp.where(mask, vc, zero) for vc in v])
+
+
 def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
             softness) -> SimState:
     """One MLS-MPM substep (reference substep :245-257): p2g, primitive FK,
