@@ -62,32 +62,14 @@ class LocalPlan(NamedTuple):
     # z stays dense: Lz == D
 
 
-def _est_extent_y(scene: SceneSpec) -> float:
-    """Initial y-extent of the particle cloud in cells (same estimate style
-    as transfer.crop_size)."""
-    G = scene.simulator.n_grid
-    los, his = [], []
-    for s in scene.shapes:
-        c = np.asarray(s.init_pos, float)
-        if s.shape == "box":
-            w = s.width
-            w = np.asarray([w] * 3 if np.isscalar(w) else w, float)
-            half = np.linalg.norm(w) / 2
-        else:
-            half = float(s.radius)
-        los.append(c[1] - half)
-        his.append(c[1] + half)
-    if not los:
-        return float(G)
-    return float((max(his) - min(los)) * G)
-
-
 def plan_for(scene: SceneSpec, D: int) -> LocalPlan:
+    """Default plan: window only along x (the sorted axis), y and z dense.
+    The x-sort bounds chunk x-extents to a couple of cells, so Lx = 8 holds
+    a wide margin; full-depth y/z keep the fallback check x-only and let the
+    tile scatter/gather run as one-hot placement matmuls."""
     n = scene.simulator.n_particles
     P = max(128, min(512, ((n + 127) // 128) * 128))
-    # y window: initial extent + stencil(3) + growth margin(8), capped at D.
-    ly = min(D, ((math.ceil(_est_extent_y(scene)) + 11 + 7) // 8) * 8)
-    return LocalPlan(P=P, Lx=8, Ly=int(ly))
+    return LocalPlan(P=P, Lx=8, Ly=D)
 
 
 def enabled(scene: SceneSpec, D: int) -> bool:
@@ -164,6 +146,97 @@ def unsort_rows(order, rank, tree):
     return _permute(order, rank, tree)
 
 
+# ---- rows-layout (channel-major) variants: state as one (R, N) array ----
+
+def sort_keys_cols(scene: SceneSpec, x3, n: int) -> jnp.ndarray:
+    """Raster cell key from x rows (3, N); padded columns (>= n) get the max
+    key so they stay at the end of the sorted order."""
+    sim = scene.simulator
+    G = sim.n_grid
+    base = jnp.clip(
+        jnp.floor(x3 * sim.inv_dx - 0.5).astype(jnp.int32), 0, G - 1
+    )
+    key = (base[0] * G + base[1]) * G + base[2]
+    N = x3.shape[1]
+    if N > n:
+        pad = jnp.arange(N, dtype=jnp.int32) >= n
+        key = jnp.where(pad, G * G * G, key)
+    return key
+
+
+def _sort_cols_by_key(key, arr):
+    """Sort the columns of (R, N) `arr` by integer `key` (stable), one
+    multi-operand lax.sort."""
+    R = arr.shape[0]
+    out = jax.lax.sort((key, *[arr[i] for i in range(R)]), dimension=0,
+                       is_stable=True, num_keys=1)
+    return jnp.stack(out[1:], axis=0)
+
+
+@jax.custom_vjp
+def _permute_cols(fwd_key, bwd_key, arr):
+    return _sort_cols_by_key(fwd_key, arr)
+
+
+def _permute_cols_fwd(fwd_key, bwd_key, arr):
+    return _sort_cols_by_key(fwd_key, arr), (fwd_key, bwd_key)
+
+
+def _permute_cols_bwd(res, ct):
+    fwd_key, bwd_key = res
+    zf = np.zeros(fwd_key.shape, jax.dtypes.float0)
+    zb = np.zeros(bwd_key.shape, jax.dtypes.float0)
+    return zf, zb, _sort_cols_by_key(bwd_key, ct)
+
+
+_permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
+
+
+def sort_cols(key, arr):
+    """Sort columns of (R, N) by key. Returns (sorted, order, rank)."""
+    N = key.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((key, iota), dimension=0, is_stable=True,
+                            num_keys=1)
+    _, rank = jax.lax.sort((order, iota), dimension=0, is_stable=True,
+                           num_keys=1)
+    return _permute_cols(key, order, arr), order, rank
+
+
+def unsort_cols(order, rank, arr):
+    return _permute_cols(order, rank, arr)
+
+
+def chunk_offsets_cols(scene: SceneSpec, plan: LocalPlan, x3, off, D: int,
+                       n: int, margin: int = 0) -> ChunkCtx:
+    """chunk_offsets from x rows (3, N), N = NC * P, pads replicating real
+    columns. Column-wise min/max keeps every reduce on the fat minor dim.
+    `margin` tightens the ok check (extent <= Lx - 3 - margin) so the flag
+    can be evaluated once per env step and stay valid while particles
+    drift (< 1 cell per env step at sane velocities)."""
+    sim = scene.simulator
+    P = plan.P
+    base = jnp.floor(x3 * sim.inv_dx - 0.5).astype(jnp.int32)  # (3, N)
+    bases = base.reshape(3, -1, P)
+    mn = jnp.min(bases, axis=2).T  # (NC, 3)
+    mx = jnp.max(bases, axis=2).T
+    ext = mx - mn
+    ok = jnp.all(ext[:, 0] <= plan.Lx - 3 - margin)
+    if plan.Ly < D:
+        ok = jnp.logical_and(ok, jnp.all(ext[:, 1] <= plan.Ly - 3 - margin))
+    lims = jnp.asarray([D - plan.Lx, D - plan.Ly, 0], jnp.int32)
+    offs = off[None, :] + jnp.clip(mn - off[None, :], 0, lims[None, :])
+    return ChunkCtx(offs=offs, ok=ok)
+
+
+def crop_offset_cols(scene: SceneSpec, x3, D: int) -> jnp.ndarray:
+    """crop_offset from x rows (3, N)."""
+    sim = scene.simulator
+    base = jnp.floor(x3 * sim.inv_dx - 0.5).astype(jnp.int32)
+    center = (jnp.min(base, axis=1) + jnp.max(base, axis=1)) // 2
+    return jnp.clip(center - D // 2, 0, sim.n_grid - D)
+
+
 # ---------------------------------------------------------------------------
 # chunk windows
 # ---------------------------------------------------------------------------
@@ -195,9 +268,9 @@ def chunk_offsets(scene: SceneSpec, plan: LocalPlan, x, off, D: int) -> ChunkCtx
     mn = jnp.min(bases, axis=1)  # (NC, 3)
     mx = jnp.max(bases, axis=1)
     ext = mx - mn
-    ok = jnp.logical_and(
-        jnp.all(ext[:, 0] <= plan.Lx - 3), jnp.all(ext[:, 1] <= plan.Ly - 3)
-    )
+    ok = jnp.all(ext[:, 0] <= plan.Lx - 3)
+    if plan.Ly < D:  # y windowed too (non-default plans)
+        ok = jnp.logical_and(ok, jnp.all(ext[:, 1] <= plan.Ly - 3))
     lims = jnp.asarray([D - plan.Lx, D - plan.Ly, 0], jnp.int32)
     offs = off[None, :] + jnp.clip(mn - off[None, :], 0, lims[None, :])
     return ChunkCtx(offs=offs, ok=ok)

@@ -262,12 +262,15 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         # local_transfer.py); when material spreads past the windows the
         # substep falls back to the dense crop transfer — same math, more
         # FLOPs — so the fast path is never a correctness assumption.
+        # (On TPU/f32 env_step routes through substep_rows / Pallas kernels
+        # instead of this jnp path.)
         plan = local_transfer.plan_for(scene, D)
         off = crop_offset(scene, state.x, D)
         ctx = local_transfer.chunk_offsets(scene, plan, state.x, off, D)
 
         def _p2g_loc(x, v, aff):
-            return local_transfer.p2g_local(scene, plan, x, v, aff, ctx, off, D)
+            return local_transfer.p2g_local(
+                scene, plan, x, v, aff, ctx, off, D)
 
         def _p2g_den(x, v, aff):
             aw = axis_weights(scene, x, D, off=off)
@@ -299,11 +302,11 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
     else:
         prim_pos1, prim_rot1, prim_gap1 = state.prim_pos, state.prim_rot, state.prim_gap
 
+    pose_f = (state.prim_pos, state.prim_rot, state.prim_gap)
+    pose_f1 = (prim_pos1, prim_rot1, prim_gap1)
+
     grid_v_out = grid_op(
-        scene, grid_v_in, grid_m,
-        (state.prim_pos, state.prim_rot, state.prim_gap),
-        (prim_pos1, prim_rot1, prim_gap1),
-        softness, D, off,
+        scene, grid_v_in, grid_m, pose_f, pose_f1, softness, D, off,
     )
     if use_local:
         def _g2p_loc(x, gv):
@@ -325,6 +328,195 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         x=new_x, v=new_v, C=new_C, F=new_F,
         prim_pos=prim_pos1, prim_rot=prim_rot1, prim_gap=prim_gap1,
     )
+
+
+# ---------------------------------------------------------------------------
+# rows-layout fast path (TPU): particle state as one (24, N) f32 array,
+# rows = x(0:3), v(3:6), C(6:15), F(15:24). Channel-major throughout — on
+# TPU every (n, 3)-shaped op costs a pathological 3-wide-minor relayout, so
+# the whole substep scan runs in rows layout and SimState is only
+# (un)packed at env-step boundaries.
+# ---------------------------------------------------------------------------
+
+_STRESS_BLOCK = 2048  # pallas_stress block granularity (16 sublanes x 128)
+
+
+def rows_pad(scene: SceneSpec, n: int) -> int:
+    plan = local_transfer.plan_for(scene, crop_size(scene))
+    m = int(np.lcm(plan.P, _STRESS_BLOCK))
+    return ((n + m - 1) // m) * m
+
+
+def use_rows_path(scene: SceneSpec, dtype) -> bool:
+    return (
+        local_transfer.enabled(scene, crop_size(scene))
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+        and not jax.config.jax_enable_x64
+    )
+
+
+def _fk_step(scene: SceneSpec, poses, ctrl):
+    """Forward kinematics for all primitives: poses -> poses at f+1."""
+    pos_f, rot_f, gap_f = poses
+    new_pos, new_rot, new_gap = [], [], []
+    for i, p in enumerate(scene.primitives):
+        np_, nr_, ng_ = prim.forward_kinematics(
+            p, pos_f[i], rot_f[i], gap_f[i], ctrl.v[i], ctrl.w[i],
+            ctrl.gap_vel[i],
+        )
+        new_pos.append(np_)
+        new_rot.append(nr_)
+        new_gap.append(jnp.reshape(ng_, ()))
+    if not scene.primitives:
+        return poses
+    return (jnp.stack(new_pos), jnp.stack(new_rot), jnp.stack(new_gap))
+
+
+def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
+                 softness, n: int):
+    """One substep on rows-layout state, Pallas transfers only (the dense
+    fallback is selected once per env step, see _env_step_rows). rows24
+    (24, N) f32 (N = padded, pads carry mask 0). Returns (rows24', poses')."""
+    from . import pallas_local
+    from .pallas_stress import stress_affine_rows
+
+    D = crop_size(scene)
+    plan = local_transfer.plan_for(scene, D)
+    N = rows24.shape[1]
+
+    x3 = rows24[0:3]
+    # pads replicate real positions, so they never widen the crop
+    off = local_transfer.crop_offset_cols(scene, x3, D)
+    ctx = local_transfer.chunk_offsets_cols(scene, plan, x3, off, D, n)
+
+    outCF = stress_affine_rows(scene, mats)(rows24[6:24])
+    newF9, aff9 = outCF[0:9], outCF[9:18]
+
+    maskr = (jnp.arange(N, dtype=jnp.int32)[None, :] < n).astype(rows24.dtype)
+    rows16 = jnp.concatenate([x3, rows24[3:6], aff9, maskr], axis=0)
+
+    _, _, p2g_rows, g2p_rows_fn = pallas_local.transfer_fns(scene, plan, D)
+    grid4 = p2g_rows(rows16, ctx.offs, off)
+
+    poses1 = _fk_step(scene, poses, ctrl)
+    gv3 = grid_op_cm(scene, grid4, poses, poses1, softness, D, off)
+
+    rows4 = jnp.concatenate([x3, maskr], axis=0)
+    out15 = g2p_rows_fn(rows4, gv3.reshape(3, D ** 3), ctx.offs, off)
+
+    new_rows = jnp.concatenate(
+        [out15[12:15], out15[0:3], out15[3:12], newF9], axis=0)
+    return new_rows, poses1
+
+
+def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
+                   softness) -> SimState:
+    """env_step on the rows layout: pack, sort, check windows ONCE, then
+    either the Pallas substep scan or (rarely) the jnp dense scan."""
+    sim = scene.simulator
+    D = crop_size(scene)
+    plan = local_transfer.plan_for(scene, D)
+    n = state.x.shape[0]
+    N = rows_pad(scene, n)
+    f32 = jnp.float32
+
+    rows = jnp.concatenate(
+        [state.x.T, state.v.T, state.C.reshape(n, 9).T,
+         state.F.reshape(n, 9).T], axis=0,
+    ).astype(f32)
+    key = local_transfer.sort_keys_cols(scene, rows[0:3], n)
+    rows, order, rank = local_transfer.sort_cols(key, rows)
+
+    # One window check per env step with a 2-cell drift margin (particles
+    # move << 1 cell per env step; the margin covers pathological spikes,
+    # and a violated margin only ever costs accuracy already headed for the
+    # NaN guard, never a crash).
+    off0 = local_transfer.crop_offset_cols(scene, rows[0:3], D)
+    ok = local_transfer.chunk_offsets_cols(
+        scene, plan, _pad_rows_cols(rows, n, N)[0:3], off0, D, n, margin=2
+    ).ok
+
+    poses = (state.prim_pos.astype(f32), state.prim_rot.astype(f32),
+             state.prim_gap.astype(f32))
+
+    def _fast(rows, poses):
+        rows = _pad_rows_cols(rows, n, N)
+
+        @jax.checkpoint
+        def body(carry, _):
+            r, p = carry
+            return substep_rows(scene, mats, r, p, ctrl, softness, n), None
+
+        (rows, poses), _ = jax.lax.scan(
+            body, (rows, poses), None, length=sim.substeps)
+        return rows[:, :n], poses
+
+    def _slow(rows, poses):
+        # dense jnp scan on (n, 3) state — correctness fallback, rare
+        st = SimState(
+            x=rows[0:3].T, v=rows[3:6].T,
+            C=rows[6:15].T.reshape(n, 3, 3), F=rows[15:24].T.reshape(n, 3, 3),
+            prim_pos=poses[0], prim_rot=poses[1], prim_gap=poses[2],
+        )
+
+        @jax.checkpoint
+        def body(s, _):
+            return _substep_dense(scene, mats, s, ctrl, softness), None
+
+        st, _ = jax.lax.scan(body, st, None, length=sim.substeps)
+        out = jnp.concatenate(
+            [st.x.T, st.v.T, st.C.reshape(n, 9).T, st.F.reshape(n, 9).T],
+            axis=0,
+        )
+        return out, (st.prim_pos, st.prim_rot, st.prim_gap)
+
+    rows, poses = jax.lax.cond(ok, _fast, _slow, rows, poses)
+
+    rows = local_transfer.unsort_cols(order, rank, rows)
+    return SimState(
+        x=rows[0:3].T, v=rows[3:6].T,
+        C=rows[6:15].T.reshape(n, 3, 3), F=rows[15:24].T.reshape(n, 3, 3),
+        prim_pos=poses[0], prim_rot=poses[1], prim_gap=poses[2],
+    )
+
+
+def _pad_rows_cols(rows, n: int, N: int):
+    """Pad (24, n) rows to (24, N): x replicates the last (sorted) column
+    so pads never widen a window; v/C zero; F identity."""
+    if N == n:
+        return rows
+    f32 = rows.dtype
+    padx = jnp.broadcast_to(rows[0:3, n - 1 : n], (3, N - n))
+    padvC = jnp.zeros((12, N - n), f32)
+    padF = jnp.tile(
+        jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], f32)[:, None], (1, N - n))
+    return jnp.concatenate(
+        [rows, jnp.concatenate([padx, padvC, padF], axis=0)], axis=1)
+
+
+def _substep_dense(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
+                   softness) -> SimState:
+    """Plain dense-crop substep (no chunking) — the rows path's fallback."""
+    sim = scene.simulator
+    D = crop_size(scene)
+    new_F, affine = stress_affine(scene, mats, state.C, state.F)
+    aw = axis_weights(scene, state.x, D)
+    kr = kr_factors(aw, D)
+    grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
+    poses1 = _fk_step(scene, (state.prim_pos, state.prim_rot, state.prim_gap),
+                      ctrl)
+    grid_v_out = grid_op(
+        scene, grid_v_in, grid_m,
+        (state.prim_pos, state.prim_rot, state.prim_gap), poses1,
+        softness, D, aw.off,
+    )
+    new_v, new_C = g2p_dense(scene, aw, grid_v_out, D, kr)
+    new_x = jnp.maximum(
+        jnp.minimum(state.x + sim.dt * new_v, 1.0 - 3 * sim.dx), 0.0)
+    return SimState(x=new_x, v=new_v, C=new_C, F=new_F,
+                    prim_pos=poses1[0], prim_rot=poses1[1],
+                    prim_gap=poses1[2])
 
 
 def make_controls(scene: SceneSpec, action, dtype) -> Controls:
@@ -357,6 +549,10 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
     manipulator velocities (reference MPMSimulator.step :365-376)."""
     dtype = state.x.dtype
     ctrl = make_controls(scene, action, dtype)
+
+    if use_rows_path(scene, dtype):
+        return _env_step_rows(scene, mats, state, ctrl, softness)
+
     use_local = local_transfer.enabled(scene, crop_size(scene))
 
     if use_local:

@@ -414,3 +414,67 @@ def stress_affine_pallas_bwd(scene, mats, C, F, gNewF, gAffine):
         out_shape=[jax.ShapeDtypeStruct((n_pad // 128, 128), dtype)] * 18,
     )(*comps)
     return _from_comps(out[0:9], n), _from_comps(out[9:18], n)
+
+
+# ---------------------------------------------------------------------------
+# rows-layout wrapper (the TPU fast path): state as (18, N) channel rows
+# ---------------------------------------------------------------------------
+
+_ROWS_CACHE = {}
+
+
+def stress_affine_rows(scene, mats):
+    """Returns fn(rowsCF (18, N) f32) -> (18, N): rows 0-8 new_F, 9-17
+    affine. N must be a multiple of 2048 (= the kernel's 16x128 block).
+    Channel rows ARE the kernel's component tiles (reshape only — no
+    (n, 3, 3) transposes), so this wrapper adds no layout traffic.
+    Same forward/backward kernels as stress_affine_pallas."""
+    key = (scene.simulator, float(mats.mu), float(mats.lam),
+           float(mats.yield_stress))
+    if key in _ROWS_CACHE:
+        return _ROWS_CACHE[key]
+
+    consts = _consts(scene, mats)
+    spec = pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def _run_fwd(rowsCF):
+        N = rowsCF.shape[1]
+        assert N % _BLOCK == 0, N
+        comps = [rowsCF[i].reshape(N // 128, 128) for i in range(18)]
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, **consts),
+            grid=(N // _BLOCK,),
+            in_specs=[spec] * 18,
+            out_specs=[spec] * 18,
+            out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+        )(*comps)
+        return jnp.stack([o.reshape(N) for o in out], axis=0)
+
+    def _run_bwd(rowsCF, ct18):
+        N = rowsCF.shape[1]
+        comps = (
+            [rowsCF[i].reshape(N // 128, 128) for i in range(18)]
+            + [ct18[i].reshape(N // 128, 128) for i in range(18)]
+        )
+        out = pl.pallas_call(
+            functools.partial(_bwd_kernel, **consts, gap_eps=float(_GAP_EPS)),
+            grid=(N // _BLOCK,),
+            in_specs=[spec] * 36,
+            out_specs=[spec] * 18,
+            out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+        )(*comps)
+        return jnp.stack([o.reshape(N) for o in out], axis=0)
+
+    @jax.custom_vjp
+    def fn(rowsCF):
+        return _run_fwd(rowsCF)
+
+    def fwd(rowsCF):
+        return _run_fwd(rowsCF), rowsCF
+
+    def bwd(rowsCF, ct):
+        return (_run_bwd(rowsCF, ct),)
+
+    fn.defvjp(fwd, bwd)
+    _ROWS_CACHE[key] = fn
+    return fn

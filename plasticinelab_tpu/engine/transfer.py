@@ -145,8 +145,11 @@ def kr_factors(aw: AxisWeights, D: int):
     return KRyz, KRyzB, KRyzC
 
 
-def p2g_dense(scene: SceneSpec, aw: AxisWeights, v, affine, D: int, kr=None):
-    """APIC momentum + mass transfer. Returns (grid_v (D^3,3), grid_m (D^3,))."""
+def p2g_dense(scene: SceneSpec, aw: AxisWeights, v, affine, D: int, kr=None,
+              mask=None):
+    """APIC momentum + mass transfer. Returns (grid_v (D^3,3), grid_m (D^3,)).
+    `mask` (n,) zeroes padded particles' contributions (used by the padded
+    rows-layout fallback path)."""
     sim = scene.simulator
     dtype = v.dtype
     n = v.shape[0]
@@ -161,6 +164,11 @@ def p2g_dense(scene: SceneSpec, aw: AxisWeights, v, affine, D: int, kr=None):
 
     ones = jnp.full((n, 1), sim.p_mass, dtype)
     A4 = jnp.concatenate([A, ones], axis=-1)  # momentum + mass channels
+    if mask is not None:
+        A4 = A4 * mask[:, None]
+        Ba = Ba * mask[:, None]
+        Bb = Bb * mask[:, None]
+        Bc = Bc * mask[:, None]
 
     KRyz, KRyzB, KRyzC = kr if kr is not None else kr_factors(aw, D)
 
