@@ -31,6 +31,15 @@ class SimulatorSpec:
     nu: float = 0.2
     ground_friction: float = 1.5
     gravity: Vec3 = (0.0, -1.0, 0.0)
+    # CFL-bounded grid-velocity clamp, as a fraction of dx/dt (0 disables).
+    # The reference runs float64 and carries no clamp; in float32, stiff
+    # pinch contacts (Chopsticks/TripleMove) drive a v -> C -> F feedback
+    # past the float32 range that float64 absorbs. Clamping |v| at
+    # 0.5*dx/dt (~78 m/s at 64^3) is inactive in every sane regime
+    # (advection past 1 cell/substep is already unphysical) and bounds the
+    # feedback so the von Mises return map can recover, matching standard
+    # production-MPM practice.
+    grid_v_clamp: float = 0.5
 
     # ---- derived (reference mpm_simulator.py:15-34) ----
     @property

@@ -181,6 +181,10 @@ def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness,
         high = jnp.logical_and(cd > G - bound, v[:, d] > 0)
         v = v.at[:, d].set(jnp.where(high, jnp.zeros_like(v[:, d]), v[:, d]))
 
+    if sim.grid_v_clamp > 0:
+        vmax = sim.grid_v_clamp * sim.dx / sim.dt
+        v = jnp.clip(v, -vmax, vmax)
+
     # cells with no mass keep zero velocity (reference only writes masked cells)
     return jnp.where(mask[:, None], v, jnp.zeros_like(v))
 
@@ -243,6 +247,10 @@ def grid_op_cm(scene: SceneSpec, grid4, pose_f, pose_f1, softness, D: int,
             v = [jnp.where(low, zero, vc) for vc in v]
         high = jnp.logical_and(cd > G - bound, v[d] > 0)
         v[d] = jnp.where(high, zero, v[d])
+
+    if sim.grid_v_clamp > 0:
+        vmax = sim.grid_v_clamp * sim.dx / sim.dt
+        v = [jnp.clip(vc, -vmax, vmax) for vc in v]
 
     return jnp.stack([jnp.where(mask, vc, zero) for vc in v])
 

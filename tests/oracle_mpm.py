@@ -49,8 +49,24 @@ def svd_proper(F):
     return U, s, V
 
 
+def _o_capsule_sdf(q, h, r):
+    y = q[..., 1] + h / 2
+    y = y - np.clip(y, 0, h)
+    q2 = np.stack([q[..., 0], y, q[..., 2]], axis=-1)
+    return np.sqrt(np.sum(q2 * q2, axis=-1) + 1e-14) - r
+
+
+def _o_capsule_normal(q, h, r):
+    y = q[..., 1] + h / 2
+    y = y - np.clip(y, 0, h)
+    q2 = np.stack([q[..., 0], y, q[..., 2]], axis=-1)
+    return q2 / np.sqrt(np.sum(q2 * q2, axis=-1, keepdims=True) + 1e-14)
+
+
 class OraclePrim:
-    """Sphere / Capsule / Box primitive for the oracle."""
+    """All 7 reference primitive shapes for the oracle: Sphere, Capsule,
+    RollingPin (capsule geometry), Chopsticks (capsule pair + gap),
+    Cylinder, Torus, Box."""
 
     def __init__(self, shape, pos, rot, friction, params):
         self.shape = shape
@@ -58,6 +74,9 @@ class OraclePrim:
         self.rot = np.asarray(rot, float)
         self.friction = friction
         self.params = params
+        self.gap = (float(params.get("init_gap", 0.06))
+                    if shape == "Chopsticks" else 0.0)
+        self.minimal_gap = float(params.get("minimal_gap", 0.06))
         self.lower = np.zeros(3)
         self.upper = np.ones(3)
 
@@ -66,21 +85,32 @@ class OraclePrim:
         conj = conj / np.linalg.norm(conj)
         return quat_rot(conj, p - self.pos)
 
+    def _chop_parts(self, q):
+        pp = q - np.array([0.0, -self.params["h"] / 2, 0.0])
+        delta = np.array([self.gap / 2, 0.0, 0.0])
+        return pp - delta, pp + delta
+
     def sdf(self, p):
         if self.shape == "Sphere":
             return np.sqrt(np.sum((p - self.pos) ** 2, axis=-1) + 1e-14) - self.params["radius"]
         q = self.local(p)
-        if self.shape == "Capsule":
-            y = q[..., 1] + self.params["h"] / 2
-            y = y - np.clip(y, 0, self.params["h"])
-            q2 = np.stack([q[..., 0], y, q[..., 2]], axis=-1)
-            return np.sqrt(np.sum(q2 * q2, axis=-1) + 1e-14) - self.params["r"]
+        h, r = self.params.get("h"), self.params.get("r")
+        if self.shape in ("Capsule", "RollingPin"):
+            return _o_capsule_sdf(q, h, r)
+        if self.shape == "Chopsticks":
+            a, b = self._chop_parts(q)
+            return np.minimum(_o_capsule_sdf(a, h, r), _o_capsule_sdf(b, h, r))
+        if self.shape == "Cylinder":
+            # reference role swap: h radial, r half-height
+            d0 = np.abs(np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2 + 1e-14)) - h
+            d1 = np.abs(q[..., 1]) - r
+            return np.minimum(np.maximum(d0, d1), 0.0) + np.sqrt(
+                np.maximum(d0, 0.0) ** 2 + np.maximum(d1, 0.0) ** 2 + 1e-14)
+        if self.shape == "Torus":
+            q0 = np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2 + 1e-14) - self.params["tx"]
+            return np.sqrt(q0 ** 2 + q[..., 1] ** 2 + 1e-14) - self.params["ty"]
         if self.shape == "Box":
-            d = np.abs(q) - np.asarray(self.params["size"])
-            dc = np.maximum(d, 0.0)
-            return np.sqrt(np.sum(dc * dc, axis=-1) + 1e-14) + np.minimum(
-                d.max(axis=-1), 0.0
-            )
+            return self._box_sdf(q)
         raise NotImplementedError(self.shape)
 
     def normal(self, p):
@@ -88,11 +118,35 @@ class OraclePrim:
             d = p - self.pos
             return d / np.sqrt(np.sum(d * d, axis=-1, keepdims=True) + 1e-14)
         q = self.local(p)
-        if self.shape == "Capsule":
-            y = q[..., 1] + self.params["h"] / 2
-            y = y - np.clip(y, 0, self.params["h"])
-            q2 = np.stack([q[..., 0], y, q[..., 2]], axis=-1)
-            n = q2 / np.sqrt(np.sum(q2 * q2, axis=-1, keepdims=True) + 1e-14)
+        h, r = self.params.get("h"), self.params.get("r")
+        if self.shape in ("Capsule", "RollingPin"):
+            n = _o_capsule_normal(q, h, r)
+        elif self.shape == "Chopsticks":
+            a, b = self._chop_parts(q)
+            m = (_o_capsule_sdf(a, h, r) <= _o_capsule_sdf(b, h, r))
+            n = np.where(m[..., None], _o_capsule_normal(a, h, r),
+                         _o_capsule_normal(b, h, r))
+        elif self.shape == "Cylinder":
+            l = np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2 + 1e-14)
+            d0 = l - h
+            d1 = np.abs(q[..., 1]) - r
+            f = (d0 > d1).astype(float)
+            inside = (np.maximum(d0, d1) <= 0.0).astype(float)
+            n20 = np.maximum(d0, 0.0) + inside * f
+            n21 = np.maximum(d1, 0.0) + inside * (1.0 - f)
+            nl = np.sqrt(n20 ** 2 + n21 ** 2 + 1e-14)
+            n20, n21 = n20 / nl, n21 / nl
+            ysign = (q[..., 1] >= 0).astype(float) * 2.0 - 1.0
+            n = np.stack([q[..., 0] / l * n20, n21 * ysign,
+                          q[..., 2] / l * n20], axis=-1)
+            n = n / np.sqrt(np.sum(n * n, axis=-1, keepdims=True) + 1e-14)
+        elif self.shape == "Torus":
+            l = np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2 + 1e-14)
+            q0 = l - self.params["tx"]
+            ql = np.sqrt(q0 ** 2 + q[..., 1] ** 2 + 1e-14)
+            n = np.stack([q[..., 0] / l * (q0 / ql), q[..., 1] / ql,
+                          q[..., 2] / l * (q0 / ql)], axis=-1)
+            n = n / np.sqrt(np.sum(n * n, axis=-1, keepdims=True) + 1e-14)
         elif self.shape == "Box":
             d = 1e-4
             n = np.zeros_like(q)
@@ -110,6 +164,30 @@ class OraclePrim:
         d = np.abs(q) - np.asarray(self.params["size"])
         dc = np.maximum(d, 0.0)
         return np.sqrt(np.sum(dc * dc, axis=-1) + 1e-14) + np.minimum(d.max(axis=-1), 0.0)
+
+
+def oracle_fk(pr: OraclePrim, pv, pw, gap_vel=0.0):
+    """Shape-specific forward kinematics (reference primive_base.py:117-121,
+    RollingPin primitives.py:66-80, Chopsticks primitives.py:94-99)."""
+    pv = np.asarray(pv, float)
+    pw = np.asarray(pw, float)
+    if pr.shape == "RollingPin":
+        dw, dth, dy = pv
+        y_dir = quat_rot(pr.rot, np.array([0.0, -1.0, 0.0]))
+        x_dir = np.cross(np.array([0.0, 1.0, 0.0]), y_dir) * dw * 0.03
+        x_dir[1] = dy
+        pr.rot = quat_mul(
+            axis_angle_quat(np.array([0.0, -dth, 0.0])),
+            quat_mul(pr.rot, axis_angle_quat(np.array([0.0, dw, 0.0]))),
+        )
+        pr.pos = np.clip(pr.pos + x_dir, pr.lower, pr.upper)
+        return
+    pr.pos = np.clip(pr.pos + pv, pr.lower, pr.upper)
+    if pr.shape == "Chopsticks":
+        pr.gap = max(pr.gap - gap_vel, pr.minimal_gap)
+        pr.rot = quat_mul(pr.rot, axis_angle_quat(pw))
+        return
+    pr.rot = quat_mul(axis_angle_quat(pw), pr.rot)
 
 
 def oracle_substep(cfg, state, prim_vels, softness):
@@ -173,12 +251,13 @@ def oracle_substep(cfg, state, prim_vels, softness):
                 np.add.at(grid_v, (idx[:, 0], idx[:, 1], idx[:, 2]), mom)
                 np.add.at(grid_m, (idx[:, 0], idx[:, 1], idx[:, 2]), weight * p_mass)
 
-    # --- primitive FK (pose f -> f+1), keep both poses
-    poses_f = [(pr.pos.copy(), pr.rot.copy()) for pr in cfg["prims"]]
-    for pr, (pv, pw) in zip(cfg["prims"], prim_vels):
-        pr.pos = np.clip(pr.pos + pv, pr.lower, pr.upper)
-        pr.rot = quat_mul(axis_angle_quat(pw), pr.rot)
-    poses_f1 = [(pr.pos.copy(), pr.rot.copy()) for pr in cfg["prims"]]
+    # --- primitive FK (pose f -> f+1), keep both poses; shape-specific
+    poses_f = [(pr.pos.copy(), pr.rot.copy(), pr.gap) for pr in cfg["prims"]]
+    for pr, vel in zip(cfg["prims"], prim_vels):
+        pv, pw = vel[0], vel[1]
+        gapv = vel[2] if len(vel) > 2 else 0.0
+        oracle_fk(pr, pv, pw, gapv)
+    poses_f1 = [(pr.pos.copy(), pr.rot.copy(), pr.gap) for pr in cfg["prims"]]
 
     # --- grid op
     I, Jc, K = np.meshgrid(np.arange(G), np.arange(G), np.arange(G), indexing="ij")
@@ -193,9 +272,9 @@ def oracle_substep(cfg, state, prim_vels, softness):
 
     gp = coords * dx
     for pi, pr in enumerate(cfg["prims"]):
-        (pf, rf), (pf1, rf1) = poses_f[pi], poses_f1[pi]
-        hold_pos, hold_rot = pr.pos, pr.rot
-        pr.pos, pr.rot = pf, rf
+        (pf, rf, gapf), (pf1, rf1, _) = poses_f[pi], poses_f1[pi]
+        hold_pos, hold_rot, hold_gap = pr.pos, pr.rot, pr.gap
+        pr.pos, pr.rot, pr.gap = pf, rf, gapf
         dist = pr.sdf(gp)
         influence = np.minimum(np.exp(-dist * softness), 1.0)
         cond = ((softness > 0) & (influence > 0.1)) | (dist <= 0)
@@ -215,7 +294,7 @@ def oracle_substep(cfg, state, prim_vels, softness):
         newv = cv + inp * (1 - influence[:, None]) + gvt * influence[:, None]
         sel = mask & cond
         vv[sel] = newv[sel]
-        pr.pos, pr.rot = hold_pos, hold_rot
+        pr.pos, pr.rot, pr.gap = hold_pos, hold_rot, hold_gap
 
     bound = 3
     gf = cfg["ground_friction"]
@@ -235,6 +314,12 @@ def oracle_substep(cfg, state, prim_vels, softness):
             vv[low] = 0
         high = mask & (coords[:, d] > G - bound) & (vv[:, d] > 0)
         vv[high, d] = 0
+
+    # CFL clamp (spec.grid_v_clamp semantics; inactive at oracle velocities)
+    clamp = cfg.get("grid_v_clamp", 0.5)
+    if clamp > 0:
+        vmax = clamp * cfg["dx"] / cfg["dt"] if "dx" in cfg else clamp / (cfg["n_grid"] * cfg["dt"])
+        vv = np.clip(vv, -vmax, vmax)
 
     out[mask] = vv[mask]
     grid_v_out = out.reshape(G, G, G, 3)

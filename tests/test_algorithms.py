@@ -154,3 +154,36 @@ def test_a2c_update():
     assert np.isfinite(loss)
     a, logp, v = agent.act(np.zeros(8, np.float32))
     assert a.shape == (3,) and np.isfinite(logp) and np.isfinite(v)
+
+
+def test_acktr_update_step():
+    """KFAC/ACKTR (reference kfac.py + a2c_acktr.py acktr=True): two update
+    steps on a fake rollout decrease nothing in particular but must produce
+    finite losses, changed params, and a KL-clipped natural-gradient step."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plasticinelab_tpu.algorithms.ppo.kfac import A2C_ACKTR
+
+    rng = np.random.default_rng(0)
+    state_dim, action_dim, B = 12, 4, 32
+    agent = A2C_ACKTR(state_dim, action_dim, seed=0)
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), agent.params)
+
+    a, logp, v = agent.act(rng.standard_normal(state_dim))
+    assert a.shape == (action_dim,) and np.isfinite(logp) and np.isfinite(v)
+
+    rollouts = {
+        "obs": jnp.asarray(rng.standard_normal((B, state_dim)), jnp.float32),
+        "actions": jnp.asarray(rng.standard_normal((B, action_dim)), jnp.float32),
+        "returns": jnp.asarray(rng.standard_normal(B), jnp.float32),
+    }
+    losses = [agent.update(rollouts) for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(agent.kstate.step) == 3
+
+    changed = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))), agent.params, p0)
+    total = sum(jax.tree.leaves(changed))
+    assert total > 1e-6, "params did not move"
+    for leaf in jax.tree.leaves(agent.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
