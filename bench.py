@@ -47,12 +47,15 @@ def main():
     substeps = scene.simulator.substeps  # 19
 
     def rollout_loss(state0, actions, softness):
-        @jax.checkpoint
         def step_fn(carry, action):
             st = mpm.env_step(scene, mats, carry, action, softness)
             info = losses_mod.loss_and_components(scene, loss_state, st)
             return st, info["loss"]
 
+        # single env: the inner per-substep checkpoint already bounds
+        # memory; a second (outer) level would run the forward a third time
+        if scene.simulator.remat in ("env_step", "both"):
+            step_fn = jax.checkpoint(step_fn)
         _, per_step = jax.lax.scan(step_fn, state0, actions)
         return jnp.sum(per_step)
 

@@ -40,6 +40,19 @@ class SimulatorSpec:
     # feedback so the von Mises return map can recover, matching standard
     # production-MPM practice.
     grid_v_clamp: float = 0.5
+    # Rematerialization policy for trajectory backward passes. The substep
+    # scan (mpm.env_step) applies an inner per-substep jax.checkpoint for
+    # "substep"/"both"; trajectory-level rollouts (sim.rollout_value_and_grad,
+    # bench.py, parallel.mesh) apply an outer per-env-step checkpoint for
+    # "env_step"/"both". Exactly ONE level is optimal for a single env —
+    # the forward runs twice instead of three times and residuals stay
+    # bounded (~1 MB/substep carries at 10k particles, ~1 GB per 950-substep
+    # trajectory). "both" is required for large vmapped env batches (inner
+    # bounds residuals to one substep x batch, outer bounds carries).
+    # "none" stores every substep's XLA residuals (~35 MB each at 10k
+    # particles — a 950-substep trajectory overflows a 16 GB chip; only for
+    # short horizons).
+    remat: str = "substep"
 
     # ---- derived (reference mpm_simulator.py:15-34) ----
     @property

@@ -451,11 +451,12 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
     def _fast(rows, poses):
         rows = _pad_rows_cols(rows, n, N)
 
-        @jax.checkpoint
         def body(carry, _):
             r, p = carry
             return substep_rows(scene, mats, r, p, ctrl, softness, n), None
 
+        if sim.remat in ("substep", "both"):
+            body = jax.checkpoint(body)
         (rows, poses), _ = jax.lax.scan(
             body, (rows, poses), None, length=sim.substeps)
         return rows[:, :n], poses
@@ -578,10 +579,13 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
     # Per-substep remat: without it, an env step's backward materializes all
     # `substeps` copies of the transfer intermediates (the Khatri-Rao
     # factors dominate) at once, which forbids batching. With it, peak
-    # memory is one substep's intermediates.
-    @jax.checkpoint
+    # memory is one substep's intermediates. (remat="none" opts out for
+    # unbatched runs — see SimulatorSpec.remat.)
     def body(s, _):
         return substep(scene, mats, s, ctrl, softness), None
+
+    if scene.simulator.remat in ("substep", "both"):
+        body = jax.checkpoint(body)
 
     state, _ = jax.lax.scan(body, state, None, length=scene.simulator.substeps)
 

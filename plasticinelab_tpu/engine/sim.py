@@ -209,11 +209,16 @@ class PhysicsEnv:
             scene, mats = self.scene, self.mats
 
             def rollout_loss(state0, actions, softness):
-                @jax.checkpoint
                 def step_fn(carry, action):
                     st = mpm.env_step(scene, mats, carry, action, softness)
                     info = losses_mod.loss_and_components(scene, self.loss_state, st)
                     return st, info["loss"]
+
+                # one remat level is optimal for a single env (see
+                # SimulatorSpec.remat); the outer level applies only when
+                # the policy asks for it
+                if scene.simulator.remat in ("env_step", "both"):
+                    step_fn = jax.checkpoint(step_fn)
 
                 final, losses = jax.lax.scan(step_fn, state0, actions)
                 return jnp.sum(losses), final

@@ -1,5 +1,11 @@
 """Pallas local-window transfer kernels (interpret mode) vs the jnp local
-path: forwards bit-close, hand-derived backwards vs jax.vjp."""
+path: forwards and hand-derived backwards vs jax.vjp.
+
+Tolerances allow the kernels' 3-pass bf16 dot decomposition (~16 mantissa
+bits, the accuracy Precision.HIGH delivers on real TPU MXUs — the jnp local
+path's own precision there). The CPU jnp reference computes exact f32, so
+the comparison sees the full bf16x3 representation error (~2^-17 relative,
+amplified ~4*inv_dx by the APIC C reconstruction's cancellation)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,9 +97,9 @@ def test_p2g_backward_matches_vjp():
     gx_j, gv_j, gaff_j = vjp_j(ct)
 
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_j),
-                               atol=1e-6, rtol=1e-4)
+                               atol=5e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gaff), np.asarray(gaff_j),
-                               atol=1e-6, rtol=1e-4)
+                               atol=5e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_j),
                                atol=2e-4, rtol=1e-3)
 
@@ -122,6 +128,6 @@ def test_g2p_backward_matches_vjp():
     gx_j, ggrid_j = vjp_j((ct_v, ct_C, ct_x))
 
     np.testing.assert_allclose(np.asarray(ggrid), np.asarray(ggrid_j),
-                               atol=2e-4, rtol=1e-3)
+                               atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_j),
                                atol=2e-3, rtol=1e-3)
