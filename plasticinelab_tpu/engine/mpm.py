@@ -189,29 +189,28 @@ def grid_op(scene: SceneSpec, grid_v_in, grid_m, pose_f, pose_f1, softness,
     return jnp.where(mask[:, None], v, jnp.zeros_like(v))
 
 
-def grid_op_cm(scene: SceneSpec, grid4, pose_f, pose_f1, softness, D: int,
-               off):
-    """Channel-major grid_op: grid4 (4, M) rows = momentum x/y/z + mass on
-    the D^3 crop -> (3, M) velocities. Same math as grid_op (reference
-    grid_op :189-221) re-expressed on per-component (M,) arrays so every op
-    is a full-width VPU pass (the (M, 3) form forces 3-wide minor dims)."""
+def grid_op_core(scene: SceneSpec, g4c, coords, pose_f, pose_f1, softness):
+    """Shape-generic channel-major grid_op core (reference grid_op :189-221).
+
+    g4c: 4-tuple of momentum x/y/z + mass arrays of ANY common shape;
+    coords: (ci, cj, ck) int32 GLOBAL cell index arrays of the same shape;
+    pose_f/pose_f1: (pos, rot, gap) where pos/rot/gap are indexable per
+    primitive (arrays or tuples of scalars). Returns the 3 velocity
+    components as a list. Shared by the XLA path (flat (M,) arrays) and the
+    Pallas grid_op kernels ((Tx, Ly*D) x-tile arrays)."""
     from . import primitives_cm as pcm
 
     sim = scene.simulator
-    dtype = grid4.dtype
+    dtype = g4c[3].dtype
     G = sim.n_grid
     dt = sim.dt
 
-    m = grid4[3]
+    m = g4c[3]
     mask = m > 1e-12
     inv_m = 1.0 / jnp.where(mask, m, jnp.ones_like(m))
     gravity = sim.gravity
-    v = [grid4[d] * inv_m + dt * gravity[d] * 30.0 for d in range(3)]
+    v = [g4c[d] * inv_m + dt * gravity[d] * 30.0 for d in range(3)]
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 0).reshape(-1) + off[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 1).reshape(-1) + off[1]
-    kk = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 2).reshape(-1) + off[2]
-    coords = (ii, jj, kk)
     gp = tuple(c.astype(dtype) * sim.dx for c in coords)
 
     pos_f, rot_f, gap_f = pose_f
@@ -252,7 +251,23 @@ def grid_op_cm(scene: SceneSpec, grid4, pose_f, pose_f1, softness, D: int,
         vmax = sim.grid_v_clamp * sim.dx / sim.dt
         v = [jnp.clip(vc, -vmax, vmax) for vc in v]
 
-    return jnp.stack([jnp.where(mask, vc, zero) for vc in v])
+    return [jnp.where(mask, vc, zero) for vc in v]
+
+
+def grid_op_cm(scene: SceneSpec, grid4, pose_f, pose_f1, softness, D: int,
+               off):
+    """Channel-major grid_op: grid4 (4, M) rows = momentum x/y/z + mass on
+    the D^3 crop -> (3, M) velocities. Same math as grid_op (reference
+    grid_op :189-221) re-expressed on per-component (M,) arrays so every op
+    is a full-width VPU pass (the (M, 3) form forces 3-wide minor dims)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 0).reshape(-1) + off[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 1).reshape(-1) + off[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (D, D, D), 2).reshape(-1) + off[2]
+    v = grid_op_core(
+        scene, (grid4[0], grid4[1], grid4[2], grid4[3]), (ii, jj, kk),
+        pose_f, pose_f1, softness,
+    )
+    return jnp.stack(v)
 
 
 def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
@@ -408,7 +423,17 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
     grid4 = p2g_rows(rows16, ctx.offs, off)
 
     poses1 = _fk_step(scene, poses, ctrl)
-    gv3 = grid_op_cm(scene, grid4, poses, poses1, softness, D, off)
+    if scene.primitives:
+        from . import pallas_gridop
+
+        pgo = pallas_gridop.grid_op_fns(scene, D)
+        pf = jnp.concatenate(
+            [poses[0], poses[1], poses1[0], poses1[1]], axis=1
+        ).astype(jnp.float32)
+        gap2 = jnp.stack([poses[2], poses1[2]], axis=1).astype(jnp.float32)
+        gv3 = pgo(grid4, pf, gap2, softness, off)
+    else:
+        gv3 = grid_op_cm(scene, grid4, poses, poses1, softness, D, off)
 
     rows4 = jnp.concatenate([x3, maskr], axis=0)
     out15 = g2p_rows_fn(rows4, gv3.reshape(3, D ** 3), ctx.offs, off)
