@@ -100,6 +100,55 @@ def loss_and_components(scene: SceneSpec, loss_state: LossState,
     }
 
 
+def loss_from_crop(scene: SceneSpec, loss_state: LossState, gm_crop, off,
+                   state: SimState) -> Dict[str, jnp.ndarray]:
+    """loss_and_components from a D^3 crop grid-mass at cell offset `off`
+    (grid_m is identically zero outside the crop, so the global L1 density
+    term decomposes exactly into crop |gm - td| plus the off-crop target
+    mass). Pairs with mpm.env_step_with_grid_m; same quantities as
+    loss_and_components (reference compute_loss_kernel, loss.py:186-208)."""
+    import jax
+
+    ls = scene.env.loss
+    G = scene.simulator.n_grid
+    D = round(gm_crop.shape[0] ** (1 / 3))
+    td3 = loss_state.target_density.reshape(G, G, G)
+    sdf3 = loss_state.target_sdf.reshape(G, G, G)
+    td_crop = jax.lax.dynamic_slice(
+        td3, (off[0], off[1], off[2]), (D, D, D)).reshape(-1)
+    sdf_crop = jax.lax.dynamic_slice(
+        sdf3, (off[0], off[1], off[2]), (D, D, D)).reshape(-1)
+    gm = gm_crop.astype(td_crop.dtype)
+
+    td_total = jnp.sum(loss_state.target_density)
+    density_loss = (jnp.sum(jnp.abs(gm - td_crop))
+                    + (td_total - jnp.sum(td_crop)))
+    sdf_loss = jnp.sum(sdf_crop * gm)
+    dists = contact_distances(scene, state)
+    contact_loss = (
+        sum(d * d for d in dists) if dists else jnp.zeros((), dtype=state.x.dtype)
+    )
+    total = (
+        ls.weight_contact * contact_loss
+        + ls.weight_density * density_loss
+        + ls.weight_sdf * sdf_loss
+    )
+    # IoU from the crop: grid_m's max/sums are crop-local (zero outside);
+    # the target's are global.
+    ma = jnp.max(gm)
+    mb = jnp.max(loss_state.target_density)
+    I = jnp.sum(gm * td_crop) / ma / mb
+    Ua = jnp.sum(gm) / ma
+    Ub = td_total / mb
+    return {
+        "loss": total,
+        "contact_loss": contact_loss,
+        "density_loss": density_loss,
+        "sdf_loss": sdf_loss,
+        "iou": I / (Ua + Ub - I),
+    }
+
+
 def iou(grid_m, target_density):
     """Soft IoU (reference iou_kernel, loss.py:239-254)."""
     ma = jnp.max(grid_m)

@@ -444,9 +444,15 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
 
 
 def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
-                   softness) -> SimState:
+                   softness, want_grid_m: bool = False):
     """env_step on the rows layout: pack, sort, check windows ONCE, then
-    either the Pallas substep scan or (rarely) the jnp dense scan."""
+    either the Pallas substep scan or (rarely) the jnp dense scan.
+
+    With want_grid_m, also returns (grid_m_crop (D^3,), off (3,)) of the
+    FINAL state — computed by the mass-only Pallas kernel on the still-
+    sorted rows (the entry window check's 2-cell margin covers the whole
+    env step's drift), replacing the dense KR grid-mass transfer the loss
+    would otherwise pay per env step."""
     sim = scene.simulator
     D = crop_size(scene)
     plan = local_transfer.plan_for(scene, D)
@@ -466,12 +472,20 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
     # and a violated margin only ever costs accuracy already headed for the
     # NaN guard, never a crash).
     off0 = local_transfer.crop_offset_cols(scene, rows[0:3], D)
-    ok = local_transfer.chunk_offsets_cols(
+    ctx0 = local_transfer.chunk_offsets_cols(
         scene, plan, _pad_rows_cols(rows, n, N)[0:3], off0, D, n, margin=2
-    ).ok
+    )
+    ok = ctx0.ok
 
     poses = (state.prim_pos.astype(f32), state.prim_rot.astype(f32),
              state.prim_gap.astype(f32))
+    maskr = (jnp.arange(N, dtype=jnp.int32)[None, :] < n).astype(f32)
+
+    def _mass_dense(x_final):
+        aw = axis_weights(scene, x_final, D, off=off0)
+        zeros_v = jnp.zeros((n, 3), f32)
+        zeros_aff = jnp.zeros((n, 3, 3), f32)
+        return p2g_dense(scene, aw, zeros_v, zeros_aff, D)[1]
 
     def _fast(rows, poses):
         rows = _pad_rows_cols(rows, n, N)
@@ -484,7 +498,15 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
             body = jax.checkpoint(body)
         (rows, poses), _ = jax.lax.scan(
             body, (rows, poses), None, length=sim.substeps)
-        return rows[:, :n], poses
+        if want_grid_m:
+            from . import pallas_local
+
+            mass_rows = pallas_local.mass_fns(scene, plan, D)
+            rows4m = jnp.concatenate([rows[0:3], maskr], axis=0)
+            gm = mass_rows(rows4m, ctx0.offs, off0)
+        else:
+            gm = jnp.zeros((0,), f32)
+        return rows[:, :n], poses, gm
 
     def _slow(rows, poses):
         # dense jnp scan on (n, 3) state — correctness fallback, rare
@@ -503,16 +525,20 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
             [st.x.T, st.v.T, st.C.reshape(n, 9).T, st.F.reshape(n, 9).T],
             axis=0,
         )
-        return out, (st.prim_pos, st.prim_rot, st.prim_gap)
+        gm = _mass_dense(st.x) if want_grid_m else jnp.zeros((0,), f32)
+        return out, (st.prim_pos, st.prim_rot, st.prim_gap), gm
 
-    rows, poses = jax.lax.cond(ok, _fast, _slow, rows, poses)
+    rows, poses, gm = jax.lax.cond(ok, _fast, _slow, rows, poses)
 
     rows = local_transfer.unsort_cols(order, rank, rows)
-    return SimState(
+    new_state = SimState(
         x=rows[0:3].T, v=rows[3:6].T,
         C=rows[6:15].T.reshape(n, 3, 3), F=rows[15:24].T.reshape(n, 3, 3),
         prim_pos=poses[0], prim_rot=poses[1], prim_gap=poses[2],
     )
+    if want_grid_m:
+        return new_state, gm, off0
+    return new_state
 
 
 def _pad_rows_cols(rows, n: int, N: int):
@@ -620,6 +646,31 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
         )
         state = state._replace(x=x, v=v, C=C, F=F)
     return state
+
+
+def env_step_with_grid_m(scene: SceneSpec, mats: Materials, state: SimState,
+                         action, softness):
+    """env_step + the final state's crop grid-mass in one fused graph:
+    (new_state, grid_m_crop (D^3,), off (3,)). On the rows path the mass
+    comes from the mass-only Pallas kernel sharing the env step's sort;
+    elsewhere from the dense transfer. Consumed by losses.loss_from_crop —
+    together they replace the loss's full-grid dense mass transfer
+    (reference compute_loss_kernel's grid_m refill, loss.py:186-208)."""
+    dtype = state.x.dtype
+    ctrl = make_controls(scene, action, dtype)
+    D = crop_size(scene)
+
+    if use_rows_path(scene, dtype):
+        return _env_step_rows(scene, mats, state, ctrl, softness,
+                              want_grid_m=True)
+
+    new_state = env_step(scene, mats, state, action, softness)
+    aw = axis_weights(scene, new_state.x, D)
+    n = new_state.x.shape[0]
+    zeros_v = jnp.zeros((n, 3), dtype)
+    zeros_aff = jnp.zeros((n, 3, 3), dtype)
+    gm = p2g_dense(scene, aw, zeros_v, zeros_aff, D)[1]
+    return new_state, gm, aw.off
 
 
 def compute_grid_m(scene: SceneSpec, x):

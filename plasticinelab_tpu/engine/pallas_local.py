@@ -219,13 +219,17 @@ def _g2p_fwd_kernel(offs_ref, off_ref, rows_ref, g_ref, out_ref, *, Lx, Ly,
         axis=0,
     )  # (3*Lx*Ly, D), rows (s, a, b)
 
-    # Z[(s,a,b), p] = sum_c g[(s,a,b), c] * Wzvar[c, p] — both z-variants in
-    # one dot (N = 2P) so the short K = D contraction amortizes its MXU
-    # pipeline fill across twice the output tiles.
-    Zall = _dot(g, jnp.concatenate([Wz, WzD], axis=1), _DN_KN)
+    # Z[(s,a,b), p] = sum_c g[(s,a,b), c] * Wzvar[c, p] — z-variants share
+    # one dot when 2P <= 2048 lanes, so the short K = D contraction
+    # amortizes its MXU pipeline fill without blowing VMEM at large P.
+    if 2 * P <= 2048:
+        Zall = _dot(g, jnp.concatenate([Wz, WzD], axis=1), _DN_KN)
 
-    def zview(k):  # (3, Lx, Ly, P) slice of variant k
-        return Zall[:, k * P : (k + 1) * P].reshape(3, Lx, Ly, P)
+        def zview(k):  # (3, Lx, Ly, P) slice of variant k
+            return Zall[:, k * P : (k + 1) * P].reshape(3, Lx, Ly, P)
+    else:
+        def zview(k):
+            return _dot(g, (Wz, WzD)[k], _DN_KN).reshape(3, Lx, Ly, P)
 
     def yred(Zm, wy):  # (3, Lx, Ly, P) x (Ly, P) -> (3, Lx, P)
         return jnp.sum(Zm * wy.reshape(1, 1, Ly, P), axis=2)
@@ -283,12 +287,17 @@ def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
         axis=0,
     )  # (4*Lx*Ly, D), rows (s, a, b)
 
-    # z-variants two at a time (N = 2P): wide enough to amortize the short
-    # K = D contraction's MXU pipeline fill, half the peak VMEM of a 4P dot
+    # z-variants grouped so each dot's N stays <= 2048 lanes: wide enough
+    # to amortize the short K = D contraction's MXU pipeline fill without
+    # blowing the VMEM budget (a 4P-wide dot at P = 512 already overflowed,
+    # and 2P at P = 1024 does too)
     def zhalf(w1, w2):  # -> two (4, Lx, Ly, P) variant views
-        Z = _dot(ct, jnp.concatenate([w1, w2], axis=1), _DN_KN)
-        return (Z[:, :P].reshape(4, Lx, Ly, P),
-                Z[:, P:].reshape(4, Lx, Ly, P))
+        if 2 * P <= 2048:
+            Z = _dot(ct, jnp.concatenate([w1, w2], axis=1), _DN_KN)
+            return (Z[:, :P].reshape(4, Lx, Ly, P),
+                    Z[:, P:].reshape(4, Lx, Ly, P))
+        return (_dot(ct, w1, _DN_KN).reshape(4, Lx, Ly, P),
+                _dot(ct, w2, _DN_KN).reshape(4, Lx, Ly, P))
 
     def yred(Zm, wy):  # (4, Lx, Ly, P) x (Ly, P) -> (4, Lx, P)
         return jnp.sum(Zm * wy.reshape(1, 1, Ly, P), axis=2)
@@ -385,9 +394,12 @@ def _g2p_bwd_kernel(offs_ref, off_ref, rows_ref, g_ref, ct_ref, dg_ref,
     )  # (3*Lx*Ly, D), rows (s, a, b)
 
     def zhalf(w1, w2):  # -> two (3, Lx, Ly, P) variant views
-        Z = _dot(g, jnp.concatenate([w1, w2], axis=1), _DN_KN)
-        return (Z[:, :P].reshape(3, Lx, Ly, P),
-                Z[:, P:].reshape(3, Lx, Ly, P))
+        if 2 * P <= 2048:
+            Z = _dot(g, jnp.concatenate([w1, w2], axis=1), _DN_KN)
+            return (Z[:, :P].reshape(3, Lx, Ly, P),
+                    Z[:, P:].reshape(3, Lx, Ly, P))
+        return (_dot(g, w1, _DN_KN).reshape(3, Lx, Ly, P),
+                _dot(g, w2, _DN_KN).reshape(3, Lx, Ly, P))
 
     def yred(Zm, wy):  # -> (3, Lx, P)
         return jnp.sum(Zm * wy.reshape(1, 1, Ly, P), axis=2)
@@ -677,3 +689,145 @@ def transfer_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
     fns = (p2g_fn, g2p_fn, p2g_rows, g2p_rows_fn)
     _CACHE[key] = fns
     return fns
+
+
+# ---------------------------------------------------------------------------
+# mass-only transfer (the per-env-step loss grid: reference
+# compute_grid_m_kernel, mpm_simulator.py:382-392) — same window machinery,
+# ~1/7 of the full p2g's work
+# ---------------------------------------------------------------------------
+
+def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
+                     dx, inv_dx, p_mass):
+    """rows (4, P): x0..2, mask. out (D, Ly, D): mass crop, accumulated."""
+    i = pl.program_id(0)
+    dtype = out_ref.dtype
+    P = rows_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = [rows_ref[k : k + 1, :] for k in range(3)]
+    mask = rows_ref[3:4, :]
+    px = [xi * inv_dx for xi in x]
+    offs = [offs_ref[i, k] for k in range(3)]
+    Wx, _, _, _ = _weights(px[0], offs[0], Lx, dtype, False)
+    Wy, _, _, _ = _weights(px[1], offs[1], Ly, dtype, False)
+    Wz, _, _, _ = _weights(px[2], offs[2], D, dtype, False)
+
+    m_row = jnp.broadcast_to(jnp.asarray(p_mass, dtype), mask.shape) * mask
+    u = Wx * m_row
+    E = (u.reshape(Lx, 1, P) * Wy.reshape(1, Ly, P)).reshape(Lx * Ly, P)
+    tile = _dot(E, Wz, _DN_PP).reshape(Lx, Ly, D)
+
+    ox = offs[0] - off_ref[0]
+    out_ref[pl.ds(ox, Lx)] = out_ref[pl.ds(ox, Lx)] + tile
+
+
+def _mass_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, dx_ref, *, Lx, Ly,
+                     D, G, dx, inv_dx, p_mass):
+    """ct (D, Ly, D): mass-crop cotangent, resident. dx_ref (3, P)."""
+    i = pl.program_id(0)
+    dtype = dx_ref.dtype
+    P = rows_ref.shape[1]
+
+    x = [rows_ref[k : k + 1, :] for k in range(3)]
+    mask = rows_ref[3:4, :]
+    px = [xi * inv_dx for xi in x]
+    offs = [offs_ref[i, k] for k in range(3)]
+    Wx, _, dWx, _ = _weights(px[0], offs[0], Lx, dtype, True)
+    Wy, _, dWy, _ = _weights(px[1], offs[1], Ly, dtype, True)
+    Wz, _, dWz, _ = _weights(px[2], offs[2], D, dtype, True)
+
+    ox = offs[0] - off_ref[0]
+    ct = ct_ref[pl.ds(ox, Lx)].reshape(Lx * Ly, D)  # rows (a, b)
+
+    if 2 * P <= 2048:
+        Z = _dot(ct, jnp.concatenate([Wz, dWz], axis=1), _DN_KN)
+        Z0 = Z[:, :P].reshape(Lx, Ly, P)
+        Zd = Z[:, P:].reshape(Lx, Ly, P)
+    else:
+        Z0 = _dot(ct, Wz, _DN_KN).reshape(Lx, Ly, P)
+        Zd = _dot(ct, dWz, _DN_KN).reshape(Lx, Ly, P)
+
+    def yred(Zm, wy):  # (Lx, Ly, P) x (Ly, P) -> (Lx, P)
+        return jnp.sum(Zm * wy.reshape(1, Ly, P), axis=1)
+
+    def xred(Ym, wx):  # -> (1, P)
+        return jnp.sum(Ym * wx, axis=0, keepdims=True)
+
+    scale = inv_dx * p_mass
+    dx_ref[0:1, :] = scale * xred(yred(Z0, Wy), dWx) * mask
+    dx_ref[1:2, :] = scale * xred(yred(Z0, dWy), Wx) * mask
+    dx_ref[2:3, :] = scale * xred(yred(Zd, Wy), Wx) * mask
+
+
+def mass_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
+    """Returns mass_rows(rows4 (4, N) [x3, mask], offs, off) -> (D^3,) mass
+    crop with a hand-derived Pallas backward (d/dx only)."""
+    sim = scene.simulator
+    geom = _Geom(P=plan.P, Lx=plan.Lx, Ly=plan.Ly, D=D, G=sim.n_grid,
+                 dx=float(sim.dx), inv_dx=float(sim.inv_dx),
+                 p_mass=float(sim.p_mass), dt=float(sim.dt))
+    key = ("mass", geom, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    P, Lx, Ly = geom.P, geom.Lx, geom.Ly
+    assert Ly == D
+    kw = dict(Lx=Lx, Ly=Ly, D=D, G=geom.G, dx=geom.dx, inv_dx=geom.inv_dx,
+              p_mass=geom.p_mass)
+    f32 = jnp.float32
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    crop1 = pl.BlockSpec((D, Ly, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def fwd_call(rows4, offs, off):
+        NC = offs.shape[0]
+        return pl.pallas_call(
+            functools.partial(_mass_fwd_kernel, **kw),
+            grid=(NC,),
+            in_specs=[smem, smem,
+                      pl.BlockSpec((4, P), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=crop1,
+            out_shape=jax.ShapeDtypeStruct((D, Ly, D), f32),
+            interpret=interpret,
+        )(offs, off, rows4)
+
+    def bwd_call(rows4, offs, off, ct_crop):
+        NC = offs.shape[0]
+        return pl.pallas_call(
+            functools.partial(_mass_bwd_kernel, **kw),
+            grid=(NC,),
+            in_specs=[smem, smem,
+                      pl.BlockSpec((4, P), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      crop1],
+            out_specs=pl.BlockSpec((3, P), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, NC * P), f32),
+            interpret=interpret,
+        )(offs, off, rows4, ct_crop)
+
+    def _zero_int(a):
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def mass_rows(rows4, offs, off):
+        return fwd_call(rows4, offs, off).reshape(D ** 3)
+
+    def mass_rows_fwd(rows4, offs, off):
+        return mass_rows(rows4, offs, off), (rows4, offs, off)
+
+    def mass_rows_bwd(res, ct):
+        rows4, offs, off = res
+        dxr = bwd_call(rows4, offs, off,
+                       ct.astype(f32).reshape(D, Ly, D))
+        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:1])], axis=0)
+        return d4, _zero_int(offs), _zero_int(off)
+
+    mass_rows.defvjp(mass_rows_fwd, mass_rows_bwd)
+    _CACHE[key] = mass_rows
+    return mass_rows

@@ -210,8 +210,10 @@ class PhysicsEnv:
 
             def rollout_loss(state0, actions, softness):
                 def step_fn(carry, action):
-                    st = mpm.env_step(scene, mats, carry, action, softness)
-                    info = losses_mod.loss_and_components(scene, self.loss_state, st)
+                    st, gm, off = mpm.env_step_with_grid_m(
+                        scene, mats, carry, action, softness)
+                    info = losses_mod.loss_from_crop(
+                        scene, self.loss_state, gm, off, st)
                     return st, info["loss"]
 
                 # one remat level is optimal for a single env (see

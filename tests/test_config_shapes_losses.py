@@ -149,3 +149,45 @@ def test_loss_components_weighting():
         float(info["contact_loss"]),
         float(jnp.min(jnp.maximum(d, 0.0))) ** 2, rtol=1e-12,
     )
+
+
+def test_loss_from_crop_matches_global():
+    """loss_from_crop's crop-decomposed L1/sdf/IoU equal the global-grid
+    loss_and_components on the same state."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plasticinelab_tpu.config.loader import load_scene
+    from plasticinelab_tpu.engine import losses as losses_mod
+    from plasticinelab_tpu.engine import mpm
+    from plasticinelab_tpu.engine.shapes import build_particles
+    from plasticinelab_tpu.engine.state import default_materials, initial_state
+    from plasticinelab_tpu.engine.transfer import axis_weights, crop_size, p2g_dense
+    import os
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plasticinelab_tpu", "envs", "specs", "move-v1.json")
+    scene = load_scene(spec_path)
+    particles, _ = build_particles(scene.shapes)
+    scene = scene.with_n_particles(len(particles))
+    state = initial_state(scene, particles)
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plasticinelab_tpu", "envs", "assets", scene.env.loss.target_path)
+    loss_state = losses_mod.make_loss_state(scene, np.load(asset))
+
+    ref = losses_mod.loss_and_components(scene, loss_state, state)
+    ref_iou = losses_mod.iou(ref["grid_m"], loss_state.target_density)
+
+    D = crop_size(scene)
+    n = state.x.shape[0]
+    aw = axis_weights(scene, state.x, D)
+    gm = p2g_dense(scene, aw, jnp.zeros((n, 3), state.x.dtype),
+                   jnp.zeros((n, 3, 3), state.x.dtype), D)[1]
+    out = losses_mod.loss_from_crop(scene, loss_state, gm, aw.off, state)
+
+    for k in ("loss", "density_loss", "sdf_loss", "contact_loss"):
+        np.testing.assert_allclose(float(out[k]), float(ref[k]), rtol=1e-5,
+                                   atol=1e-6)
+    np.testing.assert_allclose(float(out["iou"]), float(ref_iou), rtol=1e-5)

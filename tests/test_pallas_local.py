@@ -131,3 +131,49 @@ def test_g2p_backward_matches_vjp():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_j),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_mass_kernel_matches_dense():
+    from plasticinelab_tpu.engine.transfer import axis_weights, p2g_dense
+
+    scene, x, v, affine, offs, off = _setup(seed=7)
+    mass_rows = pal.mass_fns(scene, PLAN, D, interpret=True)
+    n = x.shape[0]
+    P = PLAN.P
+    n_pad = ((n + P - 1) // P) * P
+    rows4 = pal._pack4(x, n_pad)
+    gm = mass_rows(rows4, offs, off)
+
+    aw = axis_weights(scene, x, D, off=off)
+    gm_ref = p2g_dense(scene, aw, jnp.zeros((n, 3), jnp.float32),
+                       jnp.zeros((n, 3, 3), jnp.float32), D)[1]
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               atol=2e-7, rtol=1e-4)
+
+
+def test_mass_kernel_backward_matches_dense_vjp():
+    from plasticinelab_tpu.engine.transfer import axis_weights, p2g_dense
+
+    scene, x, v, affine, offs, off = _setup(seed=8)
+    mass_rows = pal.mass_fns(scene, PLAN, D, interpret=True)
+    n = x.shape[0]
+    P = PLAN.P
+    n_pad = ((n + P - 1) // P) * P
+    rng = np.random.default_rng(9)
+    ct = jnp.asarray(rng.standard_normal((D ** 3,)).astype(np.float32))
+
+    def f(xx):
+        return mass_rows(pal._pack4(xx, n_pad), offs, off)
+
+    _, vjp = jax.vjp(f, x)
+    (gx,) = vjp(ct)
+
+    def f_ref(xx):
+        aw = axis_weights(scene, xx, D, off=off)
+        return p2g_dense(scene, aw, jnp.zeros((n, 3), jnp.float32),
+                         jnp.zeros((n, 3, 3), jnp.float32), D)[1]
+
+    _, vjp_r = jax.vjp(f_ref, x)
+    (gx_r,) = vjp_r(ct)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               atol=2e-4, rtol=1e-3)

@@ -38,8 +38,9 @@ def run(remat, horizon):
 
     def rollout_loss(state0, actions):
         def step_fn(carry, action):
-            st = mpm.env_step(scene, mats, carry, action, softness)
-            info = losses_mod.loss_and_components(scene, loss_state, st)
+            st, gm, off = mpm.env_step_with_grid_m(
+                scene, mats, carry, action, softness)
+            info = losses_mod.loss_from_crop(scene, loss_state, gm, off, st)
             return st, info["loss"]
 
         if remat in ("env_step", "both"):
