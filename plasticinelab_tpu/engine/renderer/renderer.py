@@ -7,10 +7,12 @@ sphere-tracing, plasticine SDF march with bisection refinement, goal-density
 ghost (blinking at 50% via even samples), <=2 diffuse bounces with optional
 directional light, vignette+exposure tone map.
 
-TPU design: every march is a lax.while_loop over the full ray batch with
-per-lane active masks (the reference's per-thread early breaks become mask
-freezes); randomness is jax.random; the whole per-sample render is one jitted
-function, called spp times.
+TPU design: rays are traced in pixel tiles (lax.map over tile batches) so
+each tile's march while_loops stop at the tile's own slowest lane — sky and
+off-object tiles exit after a handful of iterations instead of riding the
+whole image's worst ray. Shadow rays use an occlusion-only march (no
+bisection / normal / color). The full spp accumulation runs on-device in one
+jitted fori_loop; randomness is jax.random.
 """
 from __future__ import annotations
 
@@ -116,7 +118,7 @@ class Renderer:
 
         self.target_density = jnp.zeros(self.target_res, jnp.float32)
         self._voxelize = jax.jit(self._voxelize_impl)
-        self._render_sample = {}  # keyed by (shape, primitive, target) flags
+        self._render_many = {}  # keyed by (shape, primitive, target) flags
         self._key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -188,10 +190,12 @@ class Renderer:
     # ------------------------------------------------------------------
     # per-sample render
     # ------------------------------------------------------------------
-    def _build_render_sample(self, shape_flag, prim_flag, target_flag):
+    def _build_tracer(self, shape_flag, prim_flag, target_flag):
+        """next_hit + occluded for one (shape, primitive, target) variant.
+        Split from _build_render_many so tests can probe hit distances and
+        normals directly (probe_rays)."""
         scene = self.scene
         res = self.voxel_res
-        W, H = self.image_res
 
         def sample_sdf(sdf_flat, bbox, pos):
             rel = (pos - bbox[0]) / (bbox[1] - bbox[0])
@@ -250,14 +254,13 @@ class Renderer:
                 )
             return normal, color
 
-        def next_hit(textures, o, d):
+        def next_hit(textures, o, d, alive):
             sdf_flat, col_flat, bbox, tgt_flat, poses = textures
             R = o.shape[0]
             closest = jnp.full((R,), INF, jnp.float32)
             normal = jnp.zeros((R, 3), jnp.float32)
             color = jnp.zeros((R, 3), jnp.float32)
             roughness = jnp.full((R,), 0.05, jnp.float32)
-            material = jnp.full((R,), DIFFUSE, jnp.int32)
 
             # background plane z = -5.5 (reference :211-218)
             rc = -(o[:, 2] + 5.5) / jnp.where(d[:, 2] == 0, 1e-30, d[:, 2])
@@ -296,11 +299,10 @@ class Renderer:
                 dist = jnp.zeros((R,), jnp.float32)
                 sdf_val = jnp.full((R,), INF, jnp.float32)
                 sdf_id = jnp.zeros((R,), jnp.int32)
-                active = jnp.ones((R,), bool)
                 _, dist, sdf_val, sdf_id, _ = jax.lax.while_loop(
-                    cond, body, (j0, dist, sdf_val, sdf_id, active)
+                    cond, body, (j0, dist, sdf_val, sdf_id, alive)
                 )
-                hit = (dist < closest) & (dist < DIST_LIMIT)
+                hit = alive & (dist < closest) & (dist < DIST_LIMIT)
                 pn, pc = prim_normal_color(poses, sdf_id, o + dist[:, None] * d)
                 closest = jnp.where(hit, dist, closest)
                 normal = jnp.where(hit[:, None], pn, normal)
@@ -311,6 +313,7 @@ class Renderer:
             if shape_flag:
                 f = partial(sample_sdf, sdf_flat, bbox)
                 isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
+                isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
                 pos0 = o + d * (tnear + 1e-4)[:, None]
 
@@ -359,6 +362,7 @@ class Renderer:
                 isect, tnear, tfar = _ray_aabb(
                     jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32), o, d
                 )
+                isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
                 pos0 = o + d * (tnear + 1e-4)[:, None]
                 step_len = 1.0 / self.target_res[0]
@@ -404,7 +408,114 @@ class Renderer:
                     hit[:, None], jnp.asarray(self.target_density_color, jnp.float32), color
                 )
 
-            return closest, normal, color, roughness, material
+            return closest, normal, color, roughness
+
+        def occluded(textures, o, d, alive):
+            """Anything (same geometry as next_hit) within DIST_LIMIT along
+            d? Occlusion-only march: no bisection, no normals, no colors —
+            the shadow test (reference :398-400) needs just the boolean."""
+            sdf_flat, col_flat, bbox, tgt_flat, poses = textures
+            R = o.shape[0]
+            occ = jnp.zeros((R,), bool)
+
+            rc = -(o[:, 2] + 5.5) / jnp.where(d[:, 2] == 0, 1e-30, d[:, 2])
+            occ = occ | ((d[:, 2] != 0) & (rc > 0) & (rc < DIST_LIMIT))
+            gd = (o[:, 1] + 0.002) / jnp.where(d[:, 1] == 0, 1e-30, -d[:, 1])
+            occ = occ | ((d[:, 1] < 0) & (gd < DIST_LIMIT))
+
+            if prim_flag and len(scene.primitives) > 0:
+                def cond(c):
+                    j, dist, active = c
+                    return (j < 200) & jnp.any(active)
+
+                def body(c):
+                    j, dist, active = c
+                    sv, _ = prim_sdf_all(poses, o + dist[:, None] * d)
+                    dist = jnp.where(active, dist + sv, dist)
+                    active = active & (dist < DIST_LIMIT) & (sv > 1e-8)
+                    return j + 1, dist, active
+
+                j0 = jnp.zeros((), jnp.int32)
+                dist = jnp.zeros((R,), jnp.float32)
+                _, dist, _ = jax.lax.while_loop(
+                    cond, body, (j0, dist, alive & ~occ))
+                occ = occ | (alive & (dist < DIST_LIMIT))
+
+            if shape_flag:
+                f = partial(sample_sdf, sdf_flat, bbox)
+                isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
+                tnear = jnp.maximum(tnear, 0.0)
+                pos0 = o + d * (tnear + 1e-4)[:, None]
+
+                def cond(c):
+                    j, pos, hit, active = c
+                    return (j < 500) & jnp.any(active)
+
+                def body(c):
+                    j, pos, hit, active = c
+                    s = f(pos)
+                    hit_now = active & (s < 0)
+                    pos = jnp.where(
+                        (active & ~hit_now)[:, None],
+                        pos + d * jnp.maximum(s * 0.05, 0.01)[:, None], pos)
+                    hit = hit | hit_now
+                    t_along = jnp.sum((pos - o) * d, axis=-1)
+                    active = active & ~hit_now & (t_along < tfar + 1.0)
+                    return j + 1, pos, hit, active
+
+                j0 = jnp.zeros((), jnp.int32)
+                hit0 = jnp.zeros((R,), bool)
+                _, _, hitm, _ = jax.lax.while_loop(
+                    cond, body, (j0, pos0, hit0, isect & alive & ~occ))
+                occ = occ | hitm
+
+            if target_flag:
+                ft = partial(sample_target, tgt_flat)
+                isect, tnear, tfar = _ray_aabb(
+                    jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32), o, d)
+                tnear = jnp.maximum(tnear, 0.0)
+                pos0 = o + d * (tnear + 1e-4)[:, None]
+                step_len = 1.0 / self.target_res[0]
+
+                def cond(c):
+                    j, pos, fwd, hit, active = c
+                    return (j < 500) & jnp.any(active)
+
+                def body(c):
+                    j, pos, fwd, hit, active = c
+                    s = ft(pos)
+                    hit_now = active & (s < 0)
+                    pos = jnp.where(
+                        (active & ~hit_now)[:, None], pos + d * step_len, pos)
+                    fwd = jnp.where(active & ~hit_now, fwd + step_len, fwd)
+                    hit = hit | hit_now
+                    active = active & ~hit_now & (fwd + tnear <= tfar)
+                    return j + 1, pos, fwd, hit, active
+
+                j0 = jnp.zeros((), jnp.int32)
+                fwd0 = jnp.zeros((R,), jnp.float32)
+                hit0 = jnp.zeros((R,), bool)
+                _, _, _, hitt, _ = jax.lax.while_loop(
+                    cond, body, (j0, pos0, fwd0, hit0, isect & alive & ~occ))
+                occ = occ | hitt
+
+            return occ
+
+        return next_hit, occluded
+
+    def _build_render_many(self, shape_flag, prim_flag, target_flag):
+        W, H = self.image_res
+        next_hit, occluded = self._build_tracer(shape_flag, prim_flag,
+                                                target_flag)
+
+        def tile_of(n, cap=64):  # largest divisor of n that is <= cap
+            t = min(cap, n)
+            while n % t:
+                t -= 1
+            return t
+
+        Tx, Ty = tile_of(W), tile_of(H)
+        NT = (W // Tx) * (H // Ty)
 
         def out_dir(n, key):
             """cosine-weighted hemisphere (renderer_utils.out_dir)."""
@@ -449,7 +560,7 @@ class Renderer:
 
             for depth in range(self.max_ray_depth):
                 key, k1, k2, k3 = jax.random.split(key, 4)
-                closest, normal, c, roughness, material = next_hit(textures, pos, d)
+                closest, normal, c, roughness = next_hit(textures, pos, d, alive)
                 hit_pos = pos + closest[:, None] * d
                 hit_surface = jnp.linalg.norm(normal, axis=-1) != 0
                 step_alive = alive & hit_surface
@@ -468,8 +579,8 @@ class Renderer:
                     direct = jnp.asarray(self.light_direction, jnp.float32) + noise
                     direct = direct / jnp.linalg.norm(direct, axis=-1, keepdims=True)
                     dot = jnp.sum(direct * normal, -1)
-                    dist2, _, _, _, _ = next_hit(textures, pos, direct)
-                    lit = step_alive & (dot > 0) & (dist2 > DIST_LIMIT)
+                    occ = occluded(textures, pos, direct, step_alive & (dot > 0))
+                    lit = step_alive & (dot > 0) & ~occ
                     contrib = contrib + jnp.where(
                         lit[:, None],
                         throughput * jnp.asarray(LIGHT_COLOR, jnp.float32) * dot[:, None],
@@ -484,14 +595,13 @@ class Renderer:
 
         def render_sample(textures, key):
             k1, k2, k3 = jax.random.split(key, 3)
-            uu = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0).reshape(-1)
-            vv = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1).reshape(-1)
-            R = W * H
-            ux = uu.astype(jnp.float32) + jax.random.uniform(k1, (R,), jnp.float32)
-            vx = vv.astype(jnp.float32) + jax.random.uniform(k2, (R,), jnp.float32)
+            uu = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+            vv = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+            ux = uu.astype(jnp.float32) + jax.random.uniform(k1, (W, H), jnp.float32)
+            vx = vv.astype(jnp.float32) + jax.random.uniform(k2, (W, H), jnp.float32)
             dx_ = 2 * FOV * ux / H - FOV * self.aspect_ratio - 1e-5
             dy_ = 2 * FOV * vx / H - FOV - 1e-5
-            d = jnp.stack([dx_, dy_, -jnp.ones((R,), jnp.float32)], axis=-1)
+            d = jnp.stack([dx_, dy_, -jnp.ones((W, H), jnp.float32)], axis=-1)
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             r0, r1 = self.camera_rot
             rot_y = np.array(
@@ -502,10 +612,69 @@ class Renderer:
             )
             mat = jnp.asarray(rot_y @ rot_x, jnp.float32)
             d = d @ mat.T
-            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (R, 3))
-            return trace(textures, o, d, k3).reshape(W, H, 3)
+            # pixel tiles: each tile marches only as long as its own worst
+            # ray (sky tiles exit in a few steps) instead of the image's
+            d_t = (d.reshape(W // Tx, Tx, H // Ty, Ty, 3)
+                   .transpose(0, 2, 1, 3, 4).reshape(NT, Tx * Ty, 3))
+            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (Tx * Ty, 3))
+            tkeys = jax.vmap(lambda i: jax.random.fold_in(k3, i))(
+                jnp.arange(NT, dtype=jnp.uint32))
 
-        return jax.jit(render_sample)
+            def per_tile(args):
+                dt, tk = args
+                return trace(textures, o, dt, tk)
+
+            cols = jax.lax.map(per_tile, (d_t, tkeys))
+            return (cols.reshape(W // Tx, H // Ty, Tx, Ty, 3)
+                    .transpose(0, 2, 1, 3, 4).reshape(W, H, 3))
+
+        def render_many(textures, key, n):
+            def body(i, acc):
+                return acc + render_sample(textures, jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(
+                0, n, body, jnp.zeros((W, H, 3), jnp.float32))
+
+        return jax.jit(render_many, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def _prepare_textures(self, x, colors, prim_pos, prim_rot, prim_gap):
+        """Voxelize particles and assemble the per-frame texture tuple."""
+        x = np.asarray(x, np.float32)
+        # bbox (reference initialize_particles_kernel + set_particles)
+        lower = (np.floor(x.min(0) * self.inv_dx) - 6.0) * self.dx
+        desired = (np.floor(x.max(0) * self.inv_dx) - 6.0) * self.dx - lower
+        for a, b in zip(desired / self.dx, self.voxel_res):
+            assert a < b, f"the sdf should be smaller {a} < {b}"
+        upper = lower + np.asarray(self.voxel_res) * self.dx
+        bbox = jnp.asarray(np.stack([lower, upper]), jnp.float32)
+
+        sdf_flat, col_flat = self._voxelize(
+            jnp.asarray(x), jnp.asarray(colors, jnp.int32),
+            jnp.asarray(lower, jnp.float32)
+        )
+        poses = (
+            jnp.asarray(prim_pos, jnp.float32),
+            jnp.asarray(prim_rot, jnp.float32),
+            jnp.asarray(prim_gap, jnp.float32),
+        )
+        tgt = self.target_density.reshape(-1)
+        return (sdf_flat, col_flat, bbox, tgt, poses)
+
+    def probe_rays(self, x, colors, prim_pos, prim_rot, prim_gap, o, d,
+                   **kwargs):
+        """March the given rays against the scene; returns (closest, normal,
+        color) arrays. Test/debug hook for pinning hit structure."""
+        shape_flag = bool(kwargs.get("shape", 1))
+        prim_flag = bool(kwargs.get("primitive", 1))
+        target_flag = bool(kwargs.get("target", 0))
+        textures = self._prepare_textures(x, colors, prim_pos, prim_rot,
+                                          prim_gap)
+        next_hit, _ = self._build_tracer(shape_flag, prim_flag, target_flag)
+        o = jnp.asarray(o, jnp.float32)
+        d = jnp.asarray(d, jnp.float32)
+        alive = jnp.ones((o.shape[0],), bool)
+        closest, normal, color, _ = jax.jit(next_hit)(textures, o, d, alive)
+        return np.asarray(closest), np.asarray(normal), np.asarray(color)
 
     # ------------------------------------------------------------------
     def render_frame(self, x, colors, prim_pos, prim_rot, prim_gap, spp=None,
@@ -518,36 +687,22 @@ class Renderer:
         prim_flag = bool(kwargs.get("primitive", 1))
         visualize_target = int(kwargs.get("target", 0))
 
-        x = np.asarray(x, np.float32)
-        # bbox (reference initialize_particles_kernel + set_particles)
-        lower = (np.floor(x.min(0) * self.inv_dx) - 6.0) * self.dx
-        desired = (np.floor(x.max(0) * self.inv_dx) - 6.0) * self.dx - lower
-        for a, b in zip(desired / self.dx, self.voxel_res):
-            assert a < b, f"the sdf should be smaller {a} < {b}"
-        upper = lower + np.asarray(self.voxel_res) * self.dx
-        bbox = jnp.asarray(np.stack([lower, upper]), jnp.float32)
-
-        sdf_flat, col_flat = self._voxelize(
-            jnp.asarray(x), jnp.asarray(colors, jnp.int32), jnp.asarray(lower, jnp.float32)
-        )
-        poses = (
-            jnp.asarray(prim_pos, jnp.float32),
-            jnp.asarray(prim_rot, jnp.float32),
-            jnp.asarray(prim_gap, jnp.float32),
-        )
-        tgt = self.target_density.reshape(-1)
-
+        textures = self._prepare_textures(x, colors, prim_pos, prim_rot,
+                                          prim_gap)
         W, H = self.image_res
+        # blink semantics (reference render_frame :482-505): even sample
+        # indices show the goal ghost when target is on
+        n_ghost = (spp // 2) if visualize_target else 0
+        n_plain = spp - n_ghost
         buf = np.zeros((W, H, 3), np.float32)
-        for i in range(1, 1 + spp):
-            tflag = int(i % 2 == 0) * visualize_target
-            fkey = (shape_flag, prim_flag, bool(tflag))
-            if fkey not in self._render_sample:
-                self._render_sample[fkey] = self._build_render_sample(*fkey)
+        for tflag, n in ((False, n_plain), (True, n_ghost)):
+            if n == 0:
+                continue
+            fkey = (shape_flag, prim_flag, tflag)
+            if fkey not in self._render_many:
+                self._render_many[fkey] = self._build_render_many(*fkey)
             self._key, sub = jax.random.split(self._key)
-            buf += np.asarray(
-                self._render_sample[fkey]((sdf_flat, col_flat, bbox, tgt, poses), sub)
-            )
+            buf += np.asarray(self._render_many[fkey](textures, sub, n))
 
         # tone map (reference copy :414-426)
         u = (np.arange(W, dtype=np.float32)[:, None] / W) - self.vignette_center[0]

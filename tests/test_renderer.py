@@ -56,3 +56,60 @@ def test_render_has_spatial_structure(rendered):
     # sky vs ground vs plasticine should differ somewhere
     flat = rendered.reshape(-1, 3)
     assert np.unique(flat.round(2), axis=0).shape[0] > 5
+
+
+# ---------------------------------------------------------------------------
+# pinned-structure probes: known hit distances / normals (reference next_hit,
+# plb/engine/renderer/renderer.py:202-325)
+# ---------------------------------------------------------------------------
+
+def _probe_setup():
+    scene = _tiny_scene()
+    r = Renderer(scene)
+    # dense plasticine cube away from the probe rays: a 7^3 grid spaced
+    # about one voxel apart so the smoothed SDF dips well below threshold
+    g = np.linspace(0.27, 0.33, 7)
+    x = np.stack(np.meshgrid(g, g - 0.15, g, indexing="ij"),
+                 axis=-1).reshape(-1, 3).astype(np.float32)
+    colors = np.full(len(x), (127 << 16) + 127, np.int32)
+    prim_pos = np.array([[0.5, 0.4, 0.5]], np.float32)
+    prim_rot = np.array([[1.0, 0, 0, 0]], np.float32)
+    prim_gap = np.zeros(1, np.float32)
+    return r, x, colors, prim_pos, prim_rot, prim_gap
+
+
+def test_probe_sphere_hit_distance_and_normal():
+    r, x, colors, prim_pos, prim_rot, prim_gap = _probe_setup()
+    o = np.array([[0.5, 0.4, 2.0]], np.float32)
+    d = np.array([[0.0, 0.0, -1.0]], np.float32)
+    closest, normal, color = r.probe_rays(
+        x, colors, prim_pos, prim_rot, prim_gap, o, d, shape=0)
+    # sphere at z=0.5 radius 0.06: first surface crossing at 2.0-0.56
+    np.testing.assert_allclose(closest[0], 1.44, atol=2e-3)
+    np.testing.assert_allclose(normal[0], [0, 0, 1], atol=1e-2)
+    np.testing.assert_allclose(color[0], [0.7, 0.7, 0.7], atol=1e-6)
+
+
+def test_probe_ground_plane():
+    r, x, colors, prim_pos, prim_rot, prim_gap = _probe_setup()
+    o = np.array([[0.9, 0.5, 0.9]], np.float32)
+    d = np.array([[0.0, -1.0, 0.0]], np.float32)
+    closest, normal, _ = r.probe_rays(
+        x, colors, prim_pos, prim_rot, prim_gap, o, d, shape=0, primitive=0)
+    # ground plane y = -0.002 (reference :220-228)
+    np.testing.assert_allclose(closest[0], 0.502, atol=1e-5)
+    np.testing.assert_allclose(normal[0], [0, 1, 0], atol=1e-6)
+
+
+def test_probe_plasticine_march():
+    r, x, colors, prim_pos, prim_rot, prim_gap = _probe_setup()
+    cx = x.mean(0)
+    o = np.array([[cx[0], cx[1], 2.0]], np.float32)
+    d = np.array([[0.0, 0.0, -1.0]], np.float32)
+    closest, normal, _ = r.probe_rays(
+        x, colors, prim_pos, prim_rot, prim_gap, o, d, primitive=0)
+    zmax = x[:, 2].max()
+    # hit inside the smoothed shell around the blob's near face: between
+    # one voxel before the frontmost particle and the blob's far side
+    assert 2.0 - zmax - 3 * r.dx < closest[0] < 2.0 - x[:, 2].min() + 3 * r.dx
+    assert normal[0, 2] > 0.3  # outward-ish toward the ray
