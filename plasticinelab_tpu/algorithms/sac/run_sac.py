@@ -107,6 +107,9 @@ def train(env, path, logger, args):
         gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
         target_update_coef=0.005, seed=args.seed,
     )
+    vec = int(getattr(args, "vec_envs", 0) or 0)
+    if vec > 1:
+        return train_vec(env, algo, path, args, batch=vec)
     agent = Agent(
         env=env, test_env=env, algo=algo, log_dir=path,
         num_steps=args.num_steps, batch_size=256, memory_size=1000000,
@@ -114,4 +117,50 @@ def train(env, path, logger, args):
         num_eval_episodes=5, seed=args.seed, logger=logger,
     )
     agent.run()
+    return algo
+
+
+def train_vec(env, algo, path, args, batch=8, horizon=50):
+    """Collect transitions with the batched on-device env
+    (parallel/rollout.VecPlasticineEnv): B envs step in one jitted program,
+    the learner updates once per collected transition-batch — the TPU-native
+    alternative to the reference's one-env host loop (discor/agent.py)."""
+    import time
+
+    from ...parallel.rollout import VecPlasticineEnv
+
+    venv = VecPlasticineEnv(args.env_name, batch=batch, seed=args.seed,
+                            horizon=horizon)
+    replay = ReplayBuffer(venv.obs_dim, venv.action_dim, 1000000)
+    rng = np.random.default_rng(args.seed)
+    model_dir = os.path.join(path, "model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    steps = 0
+    start_steps = 2500
+    t0 = time.perf_counter()
+    obs = np.asarray(venv.reset())
+    ep_t = 0
+    while steps < args.num_steps:
+        if steps < start_steps:
+            actions = rng.uniform(
+                -1, 1, (batch, venv.action_dim)).astype(np.float32)
+        else:
+            actions = np.stack([algo.explore(o) for o in obs])
+        nobs, reward, done, _ = venv.step(actions)
+        nobs, reward = np.asarray(nobs), np.asarray(reward)
+        ep_t += 1
+        for b in range(batch):
+            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        obs = nobs
+        steps += batch
+        if steps >= start_steps:
+            algo.update(replay, 256, rng)
+        if ep_t >= horizon:
+            obs = np.asarray(venv.reset())
+            ep_t = 0
+    dt = time.perf_counter() - t0
+    print(f"[SAC vec] {steps} env steps in {dt:.1f}s "
+          f"({steps / dt:.1f} steps/s, batch={batch})")
+    algo.save_models(os.path.join(model_dir, "final"))
     return algo
