@@ -33,6 +33,7 @@ import numpy as np
 from ..config.spec import SceneSpec
 from . import local_transfer
 from . import primitives as prim
+from . import transfer as transfer_mod
 from .state import Controls, Materials, SimState
 from .svd3 import svd3
 from .transfer import (
@@ -304,7 +305,10 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
         )
     else:
         aw = axis_weights(scene, state.x, D)
-        kr = kr_factors(aw, D)  # shared between p2g and g2p
+        # share the KR factors between p2g and g2p only when they fit —
+        # above the chunk threshold the transfers stream particle blocks
+        kr = (kr_factors(aw, D)
+              if state.x.shape[0] <= transfer_mod._DENSE_CHUNK else None)
         off = aw.off
         grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
 
@@ -562,7 +566,8 @@ def _substep_dense(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
     D = crop_size(scene)
     new_F, affine = stress_affine(scene, mats, state.C, state.F)
     aw = axis_weights(scene, state.x, D)
-    kr = kr_factors(aw, D)
+    kr = (kr_factors(aw, D)
+          if state.x.shape[0] <= transfer_mod._DENSE_CHUNK else None)
     grid_v_in, grid_m = p2g_dense(scene, aw, state.v, affine, D, kr)
     poses1 = _fk_step(scene, (state.prim_pos, state.prim_rot, state.prim_gap),
                       ctrl)

@@ -145,6 +145,27 @@ def kr_factors(aw: AxisWeights, D: int):
     return KRyz, KRyzB, KRyzC
 
 
+# Above this many particles the dense transfers chunk internally: the
+# (n, D^2) Khatri-Rao factors are the peak-memory term (25k x 64^2 f32 =
+# 410 MB each), so big scenes stream particle blocks through the same
+# matmuls with a bounded working set. Small scenes (every golden-tested
+# config) take the one-shot path unchanged.
+_DENSE_CHUNK = 12288
+
+
+def _chunk_pad(a, n_pad):
+    return jnp.concatenate(
+        [a, jnp.zeros((n_pad - a.shape[0],) + a.shape[1:], a.dtype)], axis=0)
+
+
+def _aw_block(aw: AxisWeights, sl):
+    return AxisWeights(
+        Wx=aw.Wx[sl], Wy=aw.Wy[sl], Wz=aw.Wz[sl],
+        WxA=aw.WxA[sl], WyB=aw.WyB[sl], WzC=aw.WzC[sl],
+        off=aw.off, px=aw.px[sl],
+    )
+
+
 def p2g_dense(scene: SceneSpec, aw: AxisWeights, v, affine, D: int, kr=None,
               mask=None):
     """APIC momentum + mass transfer. Returns (grid_v (D^3,3), grid_m (D^3,)).
@@ -153,6 +174,33 @@ def p2g_dense(scene: SceneSpec, aw: AxisWeights, v, affine, D: int, kr=None,
     sim = scene.simulator
     dtype = v.dtype
     n = v.shape[0]
+
+    if kr is None and n > _DENSE_CHUNK:
+        # stream particle blocks; zero-padded weight rows contribute nothing
+        P = _DENSE_CHUNK
+        nc = (n + P - 1) // P
+        n_pad = nc * P
+        parts = [_chunk_pad(a, n_pad).reshape((nc, P) + a.shape[1:])
+                 for a in (aw.Wx, aw.Wy, aw.Wz, aw.WxA, aw.WyB, aw.WzC,
+                           aw.px, v, affine)]
+        if mask is not None:
+            parts.append(_chunk_pad(mask, n_pad).reshape(nc, P))
+
+        @jax.checkpoint  # recompute the chunk's KR factors in the backward
+        def body(acc, blk):
+            if mask is not None:
+                wx, wy, wz, wxa, wyb, wzc, px, vb, ab, mb = blk
+            else:
+                wx, wy, wz, wxa, wyb, wzc, px, vb, ab = blk
+                mb = None
+            awb = AxisWeights(Wx=wx, Wy=wy, Wz=wz, WxA=wxa, WyB=wyb,
+                              WzC=wzc, off=aw.off, px=px)
+            gv, gm = p2g_dense(scene, awb, vb, ab, D, mask=mb)
+            return (acc[0] + gv, acc[1] + gm), None
+
+        init = (jnp.zeros((D ** 3, 3), dtype), jnp.zeros((D ** 3,), dtype))
+        (grid_v, grid_m), _ = jax.lax.scan(body, init, tuple(parts))
+        return grid_v, grid_m
 
     # mom(cell) = A + a*Ba + b*Bb + c*Bc  (local cell indices a,b,c)
     # where  affine @ dpos = dx * affine @ (off + local - px)
@@ -193,6 +241,26 @@ def g2p_dense(scene: SceneSpec, aw: AxisWeights, grid_v, D: int, kr=None):
     sim = scene.simulator
     dtype = grid_v.dtype
     n = aw.Wx.shape[0]
+
+    if kr is None and n > _DENSE_CHUNK:
+        P = _DENSE_CHUNK
+        nc = (n + P - 1) // P
+        n_pad = nc * P
+        parts = tuple(
+            _chunk_pad(a, n_pad).reshape((nc, P) + a.shape[1:])
+            for a in (aw.Wx, aw.Wy, aw.Wz, aw.WxA, aw.WyB, aw.WzC, aw.px))
+
+        @jax.checkpoint  # recompute the chunk's KR factors in the backward
+        def body(_, blk):
+            wx, wy, wz, wxa, wyb, wzc, px = blk
+            awb = AxisWeights(Wx=wx, Wy=wy, Wz=wz, WxA=wxa, WyB=wyb,
+                              WzC=wzc, off=aw.off, px=px)
+            return None, g2p_dense(scene, awb, grid_v, D)
+
+        _, (vs, Cs) = jax.lax.scan(body, None, parts)
+        return (vs.reshape(n_pad, 3)[:n],
+                Cs.reshape(n_pad, 3, 3)[:n])
+
     g = grid_v.reshape(D, D * D, 3)
 
     KRyz, KRyzB, KRyzC = kr if kr is not None else kr_factors(aw, D)
@@ -226,10 +294,32 @@ def grid_m_dense(scene: SceneSpec, x, D: int = None):
         D = G
     aw = axis_weights(scene, x, D)
     n = x.shape[0]
-    KRyz = _einsum("pb,pc->pbc", aw.Wy, aw.Wz).reshape(n, D * D)
-    ones = jnp.full((n, 1), sim.p_mass, x.dtype)
-    U = _einsum("pa,ps->pas", aw.Wx, ones)
-    Gm = _mm(U, KRyz, D)[..., 0]  # (D,D,D)
+
+    def mass_block(awb):
+        nb = awb.Wx.shape[0]
+        KRyz = _einsum("pb,pc->pbc", awb.Wy, awb.Wz).reshape(nb, D * D)
+        ones = jnp.full((nb, 1), sim.p_mass, x.dtype)
+        U = _einsum("pa,ps->pas", awb.Wx, ones)
+        return _mm(U, KRyz, D)[..., 0]  # (D,D,D)
+
+    if n > _DENSE_CHUNK:
+        P = _DENSE_CHUNK
+        nc = (n + P - 1) // P
+        n_pad = nc * P
+        parts = tuple(
+            _chunk_pad(a, n_pad).reshape((nc, P) + a.shape[1:])
+            for a in (aw.Wx, aw.Wy, aw.Wz))
+
+        @jax.checkpoint  # recompute the chunk's KR factor in the backward
+        def body(acc, blk):
+            wx, wy, wz = blk
+            awb = AxisWeights(Wx=wx, Wy=wy, Wz=wz, WxA=wx, WyB=wy, WzC=wz,
+                              off=aw.off, px=None)
+            return acc + mass_block(awb), None
+
+        Gm, _ = jax.lax.scan(body, jnp.zeros((D, D, D), x.dtype), parts)
+    else:
+        Gm = mass_block(aw)
     if D == G:
         return Gm.reshape(-1)
     full = jnp.zeros((G, G, G), x.dtype)
