@@ -67,6 +67,252 @@ def _sample_tex(tex_flat, res, pos, channels: int):
     return c0 * (1 - f2) + c1 * f2
 
 
+# ---------------------------------------------------------------------------
+# corner-packed sampling + coarse skip field
+#
+# TPU gathers cost ~300 us fixed per op plus ~10 ns per index regardless of
+# row width (measured), so the march is engineered to MINIMIZE gather ops and
+# total indices: the 8 trilinear corners are pre-packed into one row (one
+# gather instead of eight), empty space is skipped via a coarse per-block
+# distance field (true sphere tracing at block granularity), near-surface
+# marching gathers K speculative fixed steps per op, and the hit refinement /
+# normal come from already-gathered corner rows instead of extra samples.
+# ---------------------------------------------------------------------------
+
+_SKIP_BLOCK = 4          # coarse block size in voxels
+_NEAR_MARGIN = 0.25      # val-threshold margin flagging near-surface blocks
+
+
+def _pack_corners(t3):
+    """(X, Y, Z) -> (X*Y*Z, 8) bf16 rows of the 8 edge-clamped trilinear
+    corner values (i-major order), so one gather serves a full sample."""
+    outs = []
+    for i in (0, 1):
+        tx = t3 if i == 0 else jnp.concatenate([t3[1:], t3[-1:]], 0)
+        for j in (0, 1):
+            ty = tx if j == 0 else jnp.concatenate(
+                [tx[:, 1:], tx[:, -1:]], 1)
+            for k in (0, 1):
+                tz = ty if k == 0 else jnp.concatenate(
+                    [ty[:, :, 1:], ty[:, :, -1:]], 2)
+                outs.append(tz.reshape(-1))
+    return jnp.stack(outs, axis=-1).astype(jnp.bfloat16)
+
+
+def _corner_rows(pack, res, pos):
+    """Gather the packed corner rows for pos (texture coords in [0,1]^3).
+    Returns (v (..., 8) f32, fx (..., 3)) — same uncentered indexing as
+    _sample_tex (reference sample_tex :137-155)."""
+    a, b, c = res
+    p = pos * jnp.asarray([a, b, c], jnp.float32)
+    base = jnp.minimum(p.astype(jnp.int32),
+                       jnp.asarray([a, b, c], jnp.int32) - 1)
+    base = jnp.maximum(base, 0)
+    fx = p - base.astype(jnp.float32)
+    idx = (base[..., 0] * b + base[..., 1]) * c + base[..., 2]
+    return pack[idx].astype(jnp.float32), fx
+
+
+def _trilerp(v, fx):
+    """Interpolate packed corner rows v (..., 8) at fractions fx (..., 3)."""
+    f0, f1, f2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    w0 = jnp.stack([(1 - f0), (1 - f0), (1 - f0), (1 - f0), f0, f0, f0, f0],
+                   axis=-1)
+    w1 = jnp.stack([(1 - f1), (1 - f1), f1, f1, (1 - f1), (1 - f1), f1, f1],
+                   axis=-1)
+    w2 = jnp.stack([(1 - f2), f2, (1 - f2), f2, (1 - f2), f2, (1 - f2), f2],
+                   axis=-1)
+    return jnp.sum(v * w0 * w1 * w2, axis=-1)
+
+
+def _trilerp_grad(v, fx):
+    """d(trilinear)/d(fractional coords): (..., 3) from the corner rows —
+    replaces the reference's 6 extra central-difference samples."""
+    f0, f1, f2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    one = jnp.ones_like(f0)
+    s0 = jnp.stack([-one, -one, -one, -one, one, one, one, one], axis=-1)
+    w0 = jnp.stack([(1 - f0)] * 4 + [f0] * 4, axis=-1)
+    s1 = jnp.stack([-one, -one, one, one, -one, -one, one, one], axis=-1)
+    w1 = jnp.stack([(1 - f1), (1 - f1), f1, f1, (1 - f1), (1 - f1), f1, f1],
+                   axis=-1)
+    s2 = jnp.stack([-one, one, -one, one, -one, one, -one, one], axis=-1)
+    w2 = jnp.stack([(1 - f2), f2, (1 - f2), f2, (1 - f2), f2, (1 - f2), f2],
+                   axis=-1)
+    gx = jnp.sum(v * s0 * w1 * w2, axis=-1)
+    gy = jnp.sum(v * w0 * s1 * w2, axis=-1)
+    gz = jnp.sum(v * w0 * w1 * s2, axis=-1)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def _coarse_skip_field(sdf3, threshold):
+    """Per-(4^3)-block Chebyshev distance (in blocks) to the nearest block
+    whose 1-voxel-dilated min value dips below threshold + margin. From any
+    point in a block with cd = c, no trilinear sample within (c-1)*4 voxels
+    (inf-norm) can cross the threshold — a safe sphere-trace skip."""
+    C = _SKIP_BLOCK
+    X, Y, Z = sdf3.shape
+    pad = [(0, (-s) % C) for s in (X, Y, Z)]
+    v = jnp.pad(sdf3, pad, constant_values=1.0)
+    # min over each block dilated by one voxel (covers corner interpolation
+    # reaching into neighbor blocks)
+    bmin = -jax.lax.reduce_window(
+        -v, -jnp.inf, jax.lax.max, (C + 2, C + 2, C + 2), (C, C, C), "SAME"
+    )
+    near = bmin < threshold + _NEAR_MARGIN
+    iters = 15
+    big = jnp.float32(1e4)
+    cd = jnp.where(near, 0.0, big)
+    for _ in range(iters):
+        nmin = -jax.lax.reduce_window(
+            -cd, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        cd = jnp.minimum(cd, nmin + 1.0)
+    # blocks beyond the relaxation radius still hold the sentinel — clamp
+    # to the largest distance the iterations actually certified
+    cd = jnp.minimum(cd, jnp.float32(iters + 1))
+    return cd  # (ceil(X/C), ceil(Y/C), ceil(Z/C)) f32, in block units
+
+
+def _sample_skip(cd_flat, cd_res, res, pos):
+    """Nearest-block cd lookup for pos in texture coords; returns the safe
+    skip distance in VOXELS (0 when in/next to a near block)."""
+    a, b, c = res
+    C = _SKIP_BLOCK
+    p = pos * jnp.asarray([a, b, c], jnp.float32)
+    blk = jnp.clip((p / C).astype(jnp.int32), 0,
+                   jnp.asarray(cd_res, jnp.int32) - 1)
+    idx = (blk[..., 0] * cd_res[1] + blk[..., 1]) * cd_res[2] + blk[..., 2]
+    cd = cd_flat[idx]
+    return jnp.maximum(cd - 1.0, 0.0) * C
+
+
+def _march_packed(pack, cd_flat, res, cd_res, bbox, thr, h, vox, o, d,
+                  t0, tfar, active0, K=8, fine_iters=2, rounds=8, a_cap=16):
+    """First threshold crossing of the trilinear field along o + t*d.
+
+    Alternates a coarse sphere-trace loop on the block-distance field
+    (one 4-byte row per lane per step) with speculative fine bursts that
+    gather K fixed-h steps in one corner-row op — gather ops are the unit
+    of cost on TPU, so both loops maximize work per gather. h is the
+    reference marcher's MINIMUM step (renderer.py:288 max(s*0.05, 0.01)),
+    i.e. this samples at least as finely as the reference everywhere.
+
+    Returns (hit, t_hit, s_hit, s_prev): s at the crossing sample and at
+    the previous sample (s_prev = 1.0 when the crossing was the first
+    sample ever taken on that lane).
+    """
+    f32 = jnp.float32
+    R = o.shape[0]
+    span = bbox[1] - bbox[0]
+
+    def to_tex(p):
+        return (p - bbox[0]) / span
+
+    def sample_s(p):  # (..., 3) world -> masked s = val - thr
+        rel = to_tex(p)
+        ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
+        v, fx = _corner_rows(pack, res, rel)
+        return jnp.where(ok, _trilerp(v, fx) - thr, 0.0)
+
+    ks = jnp.arange(K, dtype=f32)
+
+    def outer_cond(c):
+        r, t, hit, thit, sh, sp, active = c
+        return (r < rounds) & jnp.any(active)
+
+    def outer_body(c):
+        r, t, hit, thit, sh, sp, active = c
+
+        # --- coarse skip: advance while the block-distance field clears ---
+        def a_cond(ca):
+            j, t, act = ca
+            return (j < a_cap) & jnp.any(act)
+
+        def a_body(ca):
+            j, t, act = ca
+            pos = o + d * t[:, None]
+            skip = _sample_skip(cd_flat, cd_res, res, to_tex(pos)) * vox
+            adv = act & (skip > 0)
+            t = jnp.where(adv, t + skip, t)
+            act = adv & (t < tfar)
+            return j + 1, t, act
+
+        _, t, _ = jax.lax.while_loop(a_cond, a_body, (0, t, active))
+        active = active & (t < tfar)
+
+        # --- fine burst: K fixed steps per gather op ---
+        def b_body(i, cb):
+            t, hit, thit, sh, sp, active = cb
+            ts = t[:, None] + h * ks[None, :]                 # (R, K)
+            pk = o[:, None, :] + d[:, None, :] * ts[..., None]
+            s = sample_s(pk)                                   # (R, K)
+            live = active & ~hit
+            neg = s < 0
+            found = live & jnp.any(neg, axis=1)
+            kf = jnp.argmax(neg, axis=1)                       # first neg k
+            t_hit_new = t + h * kf.astype(f32)
+            # one-hot selects: a take_along_axis is itself a (slow) TPU
+            # gather, a masked sum is a cheap VPU reduction
+            iot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s_hit_new = jnp.sum(jnp.where(iot == kf[:, None], s, 0.0), 1)
+            kp = jnp.maximum(kf - 1, 0)
+            s_prev_new = jnp.where(
+                kf > 0,
+                jnp.sum(jnp.where(iot == kp[:, None], s, 0.0), 1), 1.0)
+            thit = jnp.where(found, t_hit_new, thit)
+            sh = jnp.where(found, s_hit_new, sh)
+            sp = jnp.where(found, s_prev_new, sp)
+            hit = hit | found
+            t = jnp.where(live & ~found, t + h * (K - 1), t)
+            active = active & ~hit & (t < tfar)
+            return t, hit, thit, sh, sp, active
+
+        t, hit, thit, sh, sp, active = jax.lax.fori_loop(
+            0, fine_iters, b_body, (t, hit, thit, sh, sp, active))
+        return r + 1, t, hit, thit, sh, sp, active
+
+    hit0 = jnp.zeros((R,), bool)
+    thit0 = jnp.full((R,), jnp.inf, f32)
+    s0 = jnp.zeros((R,), f32)
+    _, _, hit, thit, sh, sp, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (0, t0, hit0, thit0, s0, jnp.ones((R,), f32), active0))
+    return hit, thit, sh, sp
+
+
+def _refine_packed(pack, res, bbox, thr, h, o, d, hit, thit, K2=8):
+    """Localize the crossing inside (thit - h, thit] with one K2-row gather,
+    then linearly interpolate the bracketing samples. Replaces the
+    reference's 20-step bisection (renderer.py:274-279) at equivalent
+    sub-voxel accuracy (h/K2 bracket + secant)."""
+    f32 = jnp.float32
+    span = bbox[1] - bbox[0]
+
+    def sample_s(p):
+        rel = (p - bbox[0]) / span
+        ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
+        v, fx = _corner_rows(pack, res, rel)
+        return jnp.where(ok, _trilerp(v, fx) - thr, 0.0)
+
+    dh = h / K2
+    base = jnp.maximum(thit - h, 0.0)
+    ts = base[:, None] + dh * jnp.arange(1, K2 + 1, dtype=f32)[None, :]
+    pk = o[:, None, :] + d[:, None, :] * ts[..., None]
+    s = sample_s(pk)                                           # (R, K2)
+    neg = s < 0
+    kf = jnp.argmax(neg, axis=1)
+    any_neg = jnp.any(neg, axis=1)
+    iot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s_hi = jnp.sum(jnp.where(iot == kf[:, None], s, 0.0), 1)
+    kp = jnp.maximum(kf - 1, 0)
+    s_lo = jnp.where(kf > 0,
+                     jnp.sum(jnp.where(iot == kp[:, None], s, 0.0), 1), 1.0)
+    t_hi = base + dh * (kf + 1).astype(f32)
+    denom = jnp.where(jnp.abs(s_lo - s_hi) < 1e-12, 1.0, s_lo - s_hi)
+    frac = jnp.clip(s_lo / denom, 0.0, 1.0)
+    t_star = jnp.where(any_neg, t_hi - dh + dh * frac, thit)
+    return jnp.where(hit, t_star, thit)
+
+
 def _ray_aabb(box_min, box_max, o, d):
     """renderer_utils.ray_aabb_intersection — slab method; d==0 handled via
     +/-inf division semantics."""
@@ -118,6 +364,8 @@ class Renderer:
 
         self.target_density = jnp.zeros(self.target_res, jnp.float32)
         self._voxelize = jax.jit(self._voxelize_impl)
+        self._pack_main = jax.jit(self._pack_main_impl)
+        self._pack_target = jax.jit(self._pack_target_impl)
         self._render_many = {}  # keyed by (shape, primitive, target) flags
         self._key = jax.random.PRNGKey(0)
 
@@ -197,29 +445,35 @@ class Renderer:
         scene = self.scene
         res = self.voxel_res
 
-        def sample_sdf(sdf_flat, bbox, pos):
+        C = _SKIP_BLOCK
+        cd_res = tuple((r + C - 1) // C for r in res)
+        tres = self.target_res
+        tgt_cd_res = tuple((r + C - 1) // C for r in tres)
+        unit_bbox = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
+                                jnp.float32)
+        h_fine = 0.01                      # reference minimum step (:288)
+        h_ghost = 1.0 / tres[0]            # reference ghost step (:320)
+
+        def packed_normal(pack, pres, bbox, pos):
+            """Surface normal from the analytic trilinear gradient of the
+            corner rows at pos — replaces the reference's 6 extra
+            central-difference samples (renderer.py sample_normal)."""
             rel = (pos - bbox[0]) / (bbox[1] - bbox[0])
-            ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
-            val = _sample_tex(sdf_flat, res, rel, 1) - self.sdf_threshold
-            return jnp.where(ok, val, 0.0)
+            v, fx = _corner_rows(pack, pres, rel)
+            g = _trilerp_grad(v, fx)
+            return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
 
-        def sample_color(col_flat, bbox, pos):
+        def packed_color(col_pack, bbox, pos):
             rel = (pos - bbox[0]) / (bbox[1] - bbox[0])
-            ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
-            val = _sample_tex(col_flat, res, rel, 3)
-            return jnp.where(ok[..., None], val, 0.0)
-
-        def sample_target(tgt_flat, pos):
-            return _sample_tex(tgt_flat, self.target_res, pos, 1)
-
-        def sample_normal(f, pos):
-            d = 1e-3
-            comps = []
-            for i in range(3):
-                e = jnp.zeros((3,), jnp.float32).at[i].set(d)
-                comps.append((f(pos + e) - f(pos - e)) * (0.5 / d))
-            n = jnp.stack(comps, axis=-1)
-            return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+            v, fx = _corner_rows(col_pack, res, rel)   # (..., 8, 3)
+            f0, f1, f2 = fx[..., 0:1], fx[..., 1:2], fx[..., 2:3]
+            w = jnp.stack([
+                (1 - f0) * (1 - f1) * (1 - f2), (1 - f0) * (1 - f1) * f2,
+                (1 - f0) * f1 * (1 - f2), (1 - f0) * f1 * f2,
+                f0 * (1 - f1) * (1 - f2), f0 * (1 - f1) * f2,
+                f0 * f1 * (1 - f2), f0 * f1 * f2,
+            ], axis=-2)                                 # (..., 8, 1)
+            return jnp.sum(v * w, axis=-2)
 
         def ground_color(p):
             base = jnp.asarray([0.3, 0.5, 0.7], jnp.float32)
@@ -255,7 +509,8 @@ class Renderer:
             return normal, color
 
         def next_hit(textures, o, d, alive):
-            sdf_flat, col_flat, bbox, tgt_flat, poses = textures
+            sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses = \
+                textures
             R = o.shape[0]
             closest = jnp.full((R,), INF, jnp.float32)
             normal = jnp.zeros((R, 3), jnp.float32)
@@ -309,104 +564,51 @@ class Renderer:
                 color = jnp.where(hit[:, None], pc, color)
                 roughness = jnp.where(hit, 0.0, roughness)
 
-            # plasticine SDF march (reference :263-289)
+            # plasticine SDF march (reference :263-289), gather-optimized
             if shape_flag:
-                f = partial(sample_sdf, sdf_flat, bbox)
                 isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
                 isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
-                pos0 = o + d * (tnear + 1e-4)[:, None]
+                t0 = tnear + 1e-4
+                hitm, thit, _, _ = _march_packed(
+                    sdf_pack, cd_flat, res, cd_res, bbox,
+                    self.sdf_threshold, h_fine, self.dx, o, d, t0, tfar,
+                    isect)
+                tstar = _refine_packed(sdf_pack, res, bbox,
+                                       self.sdf_threshold, h_fine, o, d,
+                                       hitm, thit)
+                pos = o + d * tstar[:, None]
+                hit = hitm & (tstar < closest)
+                closest = jnp.where(hit, tstar, closest)
+                normal = jnp.where(hit[:, None],
+                                   packed_normal(sdf_pack, res, bbox, pos),
+                                   normal)
+                color = jnp.where(hit[:, None],
+                                  packed_color(col_pack, bbox, pos), color)
 
-                def cond(c):
-                    j, pos, step, hit, active = c
-                    return (j < 500) & jnp.any(active)
-
-                def body(c):
-                    j, pos, step, hit, active = c
-                    s = f(pos)
-                    hit_now = active & (s < 0)
-                    newstep = d * jnp.maximum(s * 0.05, 0.01)[:, None]
-                    pos = jnp.where((active & ~hit_now)[:, None], pos + newstep, pos)
-                    step = jnp.where((active & ~hit_now)[:, None], newstep, step)
-                    hit = hit | hit_now
-                    # leaving the bbox can never hit (sdf = 0 outside)
-                    t_along = jnp.sum((pos - o) * d, axis=-1)
-                    active = active & ~hit_now & (t_along < tfar + 1.0)
-                    return j + 1, pos, step, hit, active
-
-                j0 = jnp.zeros((), jnp.int32)
-                step0 = jnp.zeros((R, 3), jnp.float32)
-                hit0 = jnp.zeros((R,), bool)
-                _, pos, step, hitm, _ = jax.lax.while_loop(
-                    cond, body, (j0, pos0, step0, hit0, isect)
-                )
-
-                # 20-step bisection refinement (reference :274-279)
-                def refine(k, carry):
-                    pos, back = carry
-                    back = back * 0.5
-                    inside = f(pos - back) < 0
-                    pos = jnp.where((hitm & inside)[:, None], pos - back, pos)
-                    return pos, back
-
-                pos, _ = jax.lax.fori_loop(0, 20, refine, (pos, step))
-                dist = jnp.linalg.norm(o - pos, axis=-1)
-                hit = hitm & (dist < closest)
-                closest = jnp.where(hit, dist, closest)
-                normal = jnp.where(hit[:, None], sample_normal(f, pos), normal)
-                color = jnp.where(hit[:, None], sample_color(col_flat, bbox, pos), color)
-
-            # goal-density ghost (reference :292-323)
+            # goal-density ghost (reference :292-323), same machinery on the
+            # 64^3 target texture (threshold 0, fixed 1-voxel steps)
             if target_flag:
-                ft = partial(sample_target, tgt_flat)
                 isect, tnear, tfar = _ray_aabb(
-                    jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32), o, d
-                )
+                    unit_bbox[0], unit_bbox[1], o, d)
                 isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
-                pos0 = o + d * (tnear + 1e-4)[:, None]
-                step_len = 1.0 / self.target_res[0]
-
-                def cond(c):
-                    j, pos, fwd, hit, active = c
-                    return (j < 500) & jnp.any(active)
-
-                def body(c):
-                    j, pos, fwd, hit, active = c
-                    s = ft(pos)
-                    hit_now = active & (s < 0)
-                    pos = jnp.where(
-                        (active & ~hit_now)[:, None], pos + d * step_len, pos
-                    )
-                    fwd = jnp.where(active & ~hit_now, fwd + step_len, fwd)
-                    hit = hit | hit_now
-                    active = active & ~hit_now & (fwd + tnear <= tfar)
-                    return j + 1, pos, fwd, hit, active
-
-                j0 = jnp.zeros((), jnp.int32)
-                fwd0 = jnp.zeros((R,), jnp.float32)
-                hit0 = jnp.zeros((R,), bool)
-                _, pos, _, hitt, _ = jax.lax.while_loop(
-                    cond, body, (j0, pos0, fwd0, hit0, isect)
-                )
-
-                back0 = jnp.broadcast_to(d * step_len, (R, 3))
-
-                def refine_t(k, carry):
-                    pos, back = carry
-                    back = back * 0.5
-                    inside = ft(pos - back) < 0
-                    pos = jnp.where((hitt & inside)[:, None], pos - back, pos)
-                    return pos, back
-
-                pos, _ = jax.lax.fori_loop(0, 20, refine_t, (pos, back0))
-                dist = jnp.linalg.norm(o - pos, axis=-1)
-                hit = hitt & (dist < closest)
-                closest = jnp.where(hit, dist, closest)
-                normal = jnp.where(hit[:, None], sample_normal(ft, pos), normal)
+                t0 = tnear + 1e-4
+                hitt, thit, _, _ = _march_packed(
+                    tgt_pack, tgt_cd, tres, tgt_cd_res, unit_bbox,
+                    0.0, h_ghost, h_ghost, o, d, t0, tfar, isect)
+                tstar = _refine_packed(tgt_pack, tres, unit_bbox, 0.0,
+                                       h_ghost, o, d, hitt, thit)
+                pos = o + d * tstar[:, None]
+                hit = hitt & (tstar < closest)
+                closest = jnp.where(hit, tstar, closest)
+                normal = jnp.where(
+                    hit[:, None],
+                    packed_normal(tgt_pack, tres, unit_bbox, pos), normal)
                 color = jnp.where(
-                    hit[:, None], jnp.asarray(self.target_density_color, jnp.float32), color
-                )
+                    hit[:, None],
+                    jnp.asarray(self.target_density_color, jnp.float32),
+                    color)
 
             return closest, normal, color, roughness
 
@@ -414,7 +616,8 @@ class Renderer:
             """Anything (same geometry as next_hit) within DIST_LIMIT along
             d? Occlusion-only march: no bisection, no normals, no colors —
             the shadow test (reference :398-400) needs just the boolean."""
-            sdf_flat, col_flat, bbox, tgt_flat, poses = textures
+            sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses = \
+                textures
             R = o.shape[0]
             occ = jnp.zeros((R,), bool)
 
@@ -442,61 +645,22 @@ class Renderer:
                 occ = occ | (alive & (dist < DIST_LIMIT))
 
             if shape_flag:
-                f = partial(sample_sdf, sdf_flat, bbox)
                 isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
                 tnear = jnp.maximum(tnear, 0.0)
-                pos0 = o + d * (tnear + 1e-4)[:, None]
-
-                def cond(c):
-                    j, pos, hit, active = c
-                    return (j < 500) & jnp.any(active)
-
-                def body(c):
-                    j, pos, hit, active = c
-                    s = f(pos)
-                    hit_now = active & (s < 0)
-                    pos = jnp.where(
-                        (active & ~hit_now)[:, None],
-                        pos + d * jnp.maximum(s * 0.05, 0.01)[:, None], pos)
-                    hit = hit | hit_now
-                    t_along = jnp.sum((pos - o) * d, axis=-1)
-                    active = active & ~hit_now & (t_along < tfar + 1.0)
-                    return j + 1, pos, hit, active
-
-                j0 = jnp.zeros((), jnp.int32)
-                hit0 = jnp.zeros((R,), bool)
-                _, _, hitm, _ = jax.lax.while_loop(
-                    cond, body, (j0, pos0, hit0, isect & alive & ~occ))
+                hitm, _, _, _ = _march_packed(
+                    sdf_pack, cd_flat, res, cd_res, bbox,
+                    self.sdf_threshold, h_fine, self.dx, o, d, tnear + 1e-4,
+                    tfar, isect & alive & ~occ)
                 occ = occ | hitm
 
             if target_flag:
-                ft = partial(sample_target, tgt_flat)
                 isect, tnear, tfar = _ray_aabb(
-                    jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32), o, d)
+                    unit_bbox[0], unit_bbox[1], o, d)
                 tnear = jnp.maximum(tnear, 0.0)
-                pos0 = o + d * (tnear + 1e-4)[:, None]
-                step_len = 1.0 / self.target_res[0]
-
-                def cond(c):
-                    j, pos, fwd, hit, active = c
-                    return (j < 500) & jnp.any(active)
-
-                def body(c):
-                    j, pos, fwd, hit, active = c
-                    s = ft(pos)
-                    hit_now = active & (s < 0)
-                    pos = jnp.where(
-                        (active & ~hit_now)[:, None], pos + d * step_len, pos)
-                    fwd = jnp.where(active & ~hit_now, fwd + step_len, fwd)
-                    hit = hit | hit_now
-                    active = active & ~hit_now & (fwd + tnear <= tfar)
-                    return j + 1, pos, fwd, hit, active
-
-                j0 = jnp.zeros((), jnp.int32)
-                fwd0 = jnp.zeros((R,), jnp.float32)
-                hit0 = jnp.zeros((R,), bool)
-                _, _, _, hitt, _ = jax.lax.while_loop(
-                    cond, body, (j0, pos0, fwd0, hit0, isect & alive & ~occ))
+                hitt, _, _, _ = _march_packed(
+                    tgt_pack, tgt_cd, tres, tgt_cd_res, unit_bbox, 0.0,
+                    h_ghost, h_ghost, o, d, tnear + 1e-4, tfar,
+                    isect & alive & ~occ)
                 occ = occ | hitt
 
             return occ
@@ -507,15 +671,6 @@ class Renderer:
         W, H = self.image_res
         next_hit, occluded = self._build_tracer(shape_flag, prim_flag,
                                                 target_flag)
-
-        def tile_of(n, cap=64):  # largest divisor of n that is <= cap
-            t = min(cap, n)
-            while n % t:
-                t -= 1
-            return t
-
-        Tx, Ty = tile_of(W), tile_of(H)
-        NT = (W // Tx) * (H // Ty)
 
         def out_dir(n, key):
             """cosine-weighted hemisphere (renderer_utils.out_dir)."""
@@ -612,21 +767,10 @@ class Renderer:
             )
             mat = jnp.asarray(rot_y @ rot_x, jnp.float32)
             d = d @ mat.T
-            # pixel tiles: each tile marches only as long as its own worst
-            # ray (sky tiles exit in a few steps) instead of the image's
-            d_t = (d.reshape(W // Tx, Tx, H // Ty, Ty, 3)
-                   .transpose(0, 2, 1, 3, 4).reshape(NT, Tx * Ty, 3))
-            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (Tx * Ty, 3))
-            tkeys = jax.vmap(lambda i: jax.random.fold_in(k3, i))(
-                jnp.arange(NT, dtype=jnp.uint32))
-
-            def per_tile(args):
-                dt, tk = args
-                return trace(textures, o, dt, tk)
-
-            cols = jax.lax.map(per_tile, (d_t, tkeys))
-            return (cols.reshape(W // Tx, H // Ty, Tx, Ty, 3)
-                    .transpose(0, 2, 1, 3, 4).reshape(W, H, 3))
+            # full-width trace: on TPU each gather op has a large fixed
+            # cost, so one wide march beats many small tiles
+            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (W * H, 3))
+            return trace(textures, o, d.reshape(-1, 3), k3).reshape(W, H, 3)
 
         def render_many(textures, key, n):
             def body(i, acc):
@@ -638,7 +782,9 @@ class Renderer:
 
     # ------------------------------------------------------------------
     def _prepare_textures(self, x, colors, prim_pos, prim_rot, prim_gap):
-        """Voxelize particles and assemble the per-frame texture tuple."""
+        """Voxelize particles and assemble the per-frame texture tuple:
+        corner-packed SDF/color/goal textures plus their coarse skip
+        fields (see _march_packed)."""
         x = np.asarray(x, np.float32)
         # bbox (reference initialize_particles_kernel + set_particles)
         lower = (np.floor(x.min(0) * self.inv_dx) - 6.0) * self.dx
@@ -652,13 +798,29 @@ class Renderer:
             jnp.asarray(x), jnp.asarray(colors, jnp.int32),
             jnp.asarray(lower, jnp.float32)
         )
+        sdf_pack, col_pack, cd_flat = self._pack_main(sdf_flat, col_flat)
+        tgt_pack, tgt_cd = self._pack_target(self.target_density)
         poses = (
             jnp.asarray(prim_pos, jnp.float32),
             jnp.asarray(prim_rot, jnp.float32),
             jnp.asarray(prim_gap, jnp.float32),
         )
-        tgt = self.target_density.reshape(-1)
-        return (sdf_flat, col_flat, bbox, tgt, poses)
+        return (sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses)
+
+    def _pack_main_impl(self, sdf_flat, col_flat):
+        res = self.voxel_res
+        sdf3 = sdf_flat.reshape(res)
+        sdf_pack = _pack_corners(sdf3)
+        col_pack = jnp.stack(
+            [_pack_corners(col_flat[:, c].reshape(res)) for c in range(3)],
+            axis=-1)
+        cd = _coarse_skip_field(sdf3, self.sdf_threshold)
+        return sdf_pack, col_pack, cd.reshape(-1)
+
+    def _pack_target_impl(self, tgt3):
+        tgt_pack = _pack_corners(tgt3)
+        tgt_cd = _coarse_skip_field(tgt3, 0.0)
+        return tgt_pack, tgt_cd.reshape(-1)
 
     def probe_rays(self, x, colors, prim_pos, prim_rot, prim_gap, o, d,
                    **kwargs):
