@@ -33,6 +33,12 @@ def get_args(argv=None):
     parser.add_argument("--num_steps", type=int, default=None)
     # differentiable physics parameters
     parser.add_argument("--lr", type=float, default=0.1)
+    parser.add_argument("--policy", type=str, default="TD3",
+                        choices=["TD3", "OurDDPG", "DDPG"],
+                        help="TD3-family variant (reference TD3/main.py)")
+    parser.add_argument("--vec_envs", type=int, default=0,
+                        help="collect RL data with N batched on-device envs "
+                             "(TPU-native extension; 0 = reference loop)")
     parser.add_argument("--softness", type=float, default=666.0)
     parser.add_argument("--optim", type=str, default="Adam",
                         choices=["Adam", "Momentum"])

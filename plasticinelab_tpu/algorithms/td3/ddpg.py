@@ -15,12 +15,12 @@ from ..common import Actor, MLP, ReplayBuffer, soft_update
 
 
 class Critic(nn.Module):
-    hidden = (256, 256)
+    hidden: tuple = (400, 300)  # reference OurDDPG.py:31-37
 
     @nn.compact
     def __call__(self, obs, act):
         x = jnp.concatenate([obs, act], axis=-1)
-        return MLP((256, 256), 1)(x).squeeze(-1)
+        return MLP(self.hidden, 1)(x).squeeze(-1)
 
 
 class DDPGState(NamedTuple):
@@ -34,19 +34,21 @@ class DDPGState(NamedTuple):
 
 class DDPG:
     def __init__(self, state_dim, action_dim, max_action=1.0, discount=0.99,
-                 tau=0.005, lr=3e-4, seed=0):
+                 tau=0.005, lr=3e-4, seed=0, actor_tx=None, critic_tx=None):
         self.max_action = max_action
         self.discount = discount
         self.tau = tau
-        self.actor_def = Actor(action_dim=action_dim, max_action=max_action)
+        self.actor_def = Actor(action_dim=action_dim, max_action=max_action,
+                               hidden=(400, 300))  # OurDDPG.py:14-28
         self.critic_def = Critic()
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         obs = jnp.zeros((1, state_dim))
         act = jnp.zeros((1, action_dim))
         actor_params = self.actor_def.init(k1, obs)
         critic_params = self.critic_def.init(k2, obs, act)
-        self.actor_tx = optax.adam(lr)
-        self.critic_tx = optax.adam(lr)
+        self.actor_tx = actor_tx if actor_tx is not None else optax.adam(lr)
+        self.critic_tx = (critic_tx if critic_tx is not None
+                          else optax.adam(lr))
         self.state = DDPGState(
             actor=actor_params, actor_target=actor_params,
             actor_opt=self.actor_tx.init(actor_params),
@@ -72,7 +74,7 @@ class DDPG:
             return jnp.mean((q - target_q) ** 2)
 
         closs, cgrad = jax.value_and_grad(critic_loss_fn)(ts.critic)
-        cupd, copt = self.critic_tx.update(cgrad, ts.critic_opt)
+        cupd, copt = self.critic_tx.update(cgrad, ts.critic_opt, ts.critic)
         critic = optax.apply_updates(ts.critic, cupd)
 
         def actor_loss_fn(ap):
@@ -81,7 +83,7 @@ class DDPG:
             )
 
         _, agrad = jax.value_and_grad(actor_loss_fn)(ts.actor)
-        aupd, aopt = self.actor_tx.update(agrad, ts.actor_opt)
+        aupd, aopt = self.actor_tx.update(agrad, ts.actor_opt, ts.actor)
         actor = optax.apply_updates(ts.actor, aupd)
 
         return DDPGState(
@@ -98,3 +100,35 @@ class DDPG:
         batch = replay_buffer.sample(batch_size, rng)
         self.state, loss = self._update(self.state, batch)
         return float(loss)
+
+    # model save/load (reference DDPG.py save/load)
+    def save(self, filename):
+        import pickle
+
+        with open(filename + "_ddpg.pkl", "wb") as f:
+            pickle.dump(jax.device_get(self.state), f)
+
+    def load(self, filename):
+        import pickle
+
+        with open(filename + "_ddpg.pkl", "rb") as f:
+            self.state = jax.device_put(pickle.load(f))
+
+
+class OriginalDDPG(DDPG):
+    """The TD3 package's vanilla-DDPG baseline (reference
+    plb/algorithms/TD3/DDPG.py:48-58): tau 0.001, actor Adam lr 1e-4,
+    critic Adam lr 1e-3 with L2 weight penalty 1e-2 (torch `weight_decay`
+    adds wd*param to the gradient BEFORE Adam — optax.add_decayed_weights
+    in front of adam reproduces that, unlike decoupled adamw)."""
+
+    def __init__(self, state_dim, action_dim, max_action=1.0, discount=0.99,
+                 tau=0.001, seed=0):
+        super().__init__(
+            state_dim, action_dim, max_action=max_action, discount=discount,
+            tau=tau, seed=seed,
+            actor_tx=optax.adam(1e-4),
+            critic_tx=optax.chain(optax.add_decayed_weights(1e-2),
+                                  optax.scale_by_adam(),
+                                  optax.scale(-1e-3)),
+        )

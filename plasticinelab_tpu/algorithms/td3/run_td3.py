@@ -8,6 +8,7 @@ import os
 import numpy as np
 
 from ..common import ReplayBuffer
+from .ddpg import DDPG, OriginalDDPG
 from .td3 import TD3
 
 
@@ -56,11 +57,22 @@ def train_td3(env, path, logger, old_args):
     action_dim = env.action_space.shape[0]
     max_action = float(env.action_space.high[0])
 
-    policy = TD3(
-        state_dim, action_dim, max_action=max_action, discount=0.99,
-        tau=0.005, policy_noise=0.2 * max_action,
-        noise_clip=0.5 * max_action, policy_freq=2, seed=old_args.seed,
-    )
+    # policy dispatch (reference TD3/main.py:99-107: TD3 | OurDDPG | DDPG)
+    which = getattr(old_args, "policy", "TD3")
+    if which == "TD3":
+        policy = TD3(
+            state_dim, action_dim, max_action=max_action, discount=0.99,
+            tau=0.005, policy_noise=0.2 * max_action,
+            noise_clip=0.5 * max_action, policy_freq=2, seed=old_args.seed,
+        )
+    elif which == "OurDDPG":
+        policy = DDPG(state_dim, action_dim, max_action=max_action,
+                      discount=0.99, tau=0.005, seed=old_args.seed)
+    elif which == "DDPG":
+        policy = OriginalDDPG(state_dim, action_dim, max_action=max_action,
+                              discount=0.99, seed=old_args.seed)
+    else:
+        raise ValueError(f"unknown policy {which!r}")
     replay_buffer = ReplayBuffer(state_dim, action_dim)
     rng = np.random.default_rng(old_args.seed)
 

@@ -50,6 +50,24 @@ def test_ddpg_update():
     assert np.isfinite(loss)
 
 
+def test_original_ddpg_update_and_weight_decay():
+    """Reference TD3/DDPG.py variant: critic L2 decay shrinks weights the
+    plain-Adam critic would not touch on zero gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.algorithms.td3.ddpg import DDPG, OriginalDDPG
+
+    policy = OriginalDDPG(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    loss = policy.train(buf, batch_size=32, rng=np.random.default_rng(1))
+    assert np.isfinite(loss)
+    a = policy.select_action(np.zeros(8, np.float32))
+    assert a.shape == (3,) and np.all(np.abs(a) <= 1.0)
+    # the two variants share nets but differ in optimizers/tau
+    assert policy.tau == 0.001 and DDPG(8, 3).tau == 0.005
+
+
 def test_sac_update_and_entropy_tuning():
     from plasticinelab_tpu.algorithms.sac.sac import SAC
 
