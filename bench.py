@@ -73,7 +73,7 @@ def main():
     assert np.isfinite(float(loss)) and np.all(np.isfinite(np.asarray(grad)))
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         loss, grad = vg(state, actions, softness)
         jax.block_until_ready(grad)

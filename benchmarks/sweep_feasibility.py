@@ -79,23 +79,52 @@ def main():
     scene, mats, state, ls = build()
 
     if backend == "cpu":
-        # virtual-mesh memory/compile feasibility for the full 256-env sweep
+        # virtual-mesh memory/compile feasibility for the full 256-env
+        # sweep. One vmapped SUBSTEP's value_and_grad has the same peak
+        # working set as the full rollout (per-env-step remat keeps only
+        # one substep's activations live), at ~1000x fewer host FLOPs.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from plasticinelab_tpu.engine import mpm
+        from plasticinelab_tpu.parallel.mesh import batch_states
+
         mesh = make_mesh()
-        B, T = int(os.environ.get("SWEEP_B", "256")), 1
-        run_one(scene, mats, state, ls, mesh, B, T)
+        B = int(os.environ.get("SWEEP_B", "256"))
+        states = batch_states(state, B, jitter=1e-3)
+        ctrl = mpm.make_controls(scene, jnp.zeros((scene.action_dim,),
+                                                  jnp.float32), jnp.float32)
+
+        def one_loss(st):
+            out = mpm.substep(scene, mats, st, ctrl, jnp.float32(666.0))
+            return jnp.sum(out.x ** 2) + jnp.sum(out.v ** 2)
+
+        def batched(sts):
+            return jnp.mean(jax.vmap(one_loss)(sts))
+
+        shard = NamedSharding(mesh, P("env"))
+        step = jax.jit(jax.value_and_grad(batched),
+                       in_shardings=(shard,), out_shardings=(None, shard))
+        loss, grad = step(states)
+        jax.block_until_ready(grad.x)
+        assert np.isfinite(float(loss))
+        assert np.all(np.isfinite(np.asarray(grad.x)))
         print(json.dumps({
             "metric": "sweep_256x25k_dryrun",
             "value": 1.0,
-            "unit": f"ok (B={B}, {len(jax.devices())} virtual devices)",
+            "unit": f"ok (B={B} x 25k substep grad, "
+                    f"{len(jax.devices())} virtual devices)",
             "vs_baseline": None,
-            "extra": {"n_particles": 25000, "devices": len(jax.devices())},
+            "extra": {"n_particles": 25000, "devices": len(jax.devices()),
+                      "loss": float(loss)},
         }))
         return
 
-    # real chip: find the largest batch that fits, then measure
+    # real chip: find the largest batch that fits, then measure. Each
+    # halving retry costs a full (~10 min through the tunnel) recompile,
+    # so start conservatively via SWEEP_B.
     mesh = make_mesh()
-    T = 2
-    B = int(os.environ.get("SWEEP_B", "32"))
+    T = int(os.environ.get("SWEEP_T", "2"))
+    B = int(os.environ.get("SWEEP_B", "16"))
     best = None
     while B >= 1:
         try:

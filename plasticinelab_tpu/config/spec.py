@@ -53,6 +53,11 @@ class SimulatorSpec:
     # particles — a 950-substep trajectory overflows a 16 GB chip; only for
     # short horizons).
     remat: str = "substep"
+    # Transfer backend selection. "auto" uses the Pallas local-window rows
+    # path on TPU where eligible; "dense" forces the chunked dense
+    # Khatri-Rao path — required under vmap (batched envs), whose batching
+    # the Pallas kernels don't support.
+    transfer: str = "auto"
 
     # ---- derived (reference mpm_simulator.py:15-34) ----
     @property

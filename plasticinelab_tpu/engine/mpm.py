@@ -376,7 +376,8 @@ def rows_pad(scene: SceneSpec, n: int) -> int:
 
 def use_rows_path(scene: SceneSpec, dtype) -> bool:
     return (
-        local_transfer.enabled(scene, crop_size(scene))
+        scene.simulator.transfer != "dense"
+        and local_transfer.enabled(scene, crop_size(scene))
         and jax.default_backend() == "tpu"
         and dtype == jnp.float32
         and not jax.config.jax_enable_x64

@@ -149,8 +149,11 @@ def kr_factors(aw: AxisWeights, D: int):
 # (n, D^2) Khatri-Rao factors are the peak-memory term (25k x 64^2 f32 =
 # 410 MB each), so big scenes stream particle blocks through the same
 # matmuls with a bounded working set. Small scenes (every golden-tested
-# config) take the one-shot path unchanged.
-_DENSE_CHUNK = 12288
+# config) take the one-shot path unchanged. Under vmap the chunk buffer
+# gains the batch axis — batched sweeps can shrink it via the env var.
+import os as _os
+
+_DENSE_CHUNK = int(_os.environ.get("PLB_DENSE_CHUNK", "12288"))
 
 
 def _chunk_pad(a, n_pad):

@@ -58,6 +58,12 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
     step regardless of horizon (SURVEY.md §5 long-horizon strategy).
     """
 
+    import dataclasses
+
+    scene = dataclasses.replace(
+        scene, simulator=dataclasses.replace(scene.simulator,
+                                             transfer="dense"))
+
     def rollout_loss(state0, actions, softness):
         @jax.checkpoint
         def step_fn(carry, action):

@@ -71,6 +71,14 @@ class VecPlasticineEnv:
         if particles is None:
             particles, _ = build_particles(scene.shapes)
         scene = scene.with_n_particles(len(particles))
+        # batched stepping vmaps the physics — force the vmappable
+        # chunked-dense transfer backend (the Pallas rows kernels don't
+        # support a batch dimension)
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene, simulator=dataclasses.replace(scene.simulator,
+                                                 transfer="dense"))
         self.scene = scene
         self.batch = batch
         self.horizon = horizon
