@@ -151,17 +151,25 @@ class KFACOptimizer:
         p = params["params"]
         g = grads["params"]
 
-        do_eig = st.step % self.Tf == 0
-        q_a, q_g, d_a, d_g = dict(st.q_a), dict(st.q_g), dict(st.d_a), dict(st.d_g)
-        for name in list(st.m_aa):
-            da_new, qa_new = jnp.linalg.eigh(st.m_aa[name])
-            dg_new, qg_new = jnp.linalg.eigh(st.m_gg[name])
-            da_new = da_new * (da_new > 1e-6)
-            dg_new = dg_new * (dg_new > 1e-6)
-            q_a[name] = jnp.where(do_eig, qa_new, st.q_a[name])
-            q_g[name] = jnp.where(do_eig, qg_new, st.q_g[name])
-            d_a[name] = jnp.where(do_eig, da_new, st.d_a[name])
-            d_g[name] = jnp.where(do_eig, dg_new, st.d_g[name])
+        # Amortized factor eigendecomposition (reference kfac.py:88-98 runs
+        # it every Tf steps): lax.cond skips the eigh work entirely on
+        # non-refresh steps rather than computing and discarding it.
+        def _eig(_):
+            q_a, q_g, d_a, d_g = {}, {}, {}, {}
+            for name in list(st.m_aa):
+                da_new, qa_new = jnp.linalg.eigh(st.m_aa[name])
+                dg_new, qg_new = jnp.linalg.eigh(st.m_gg[name])
+                q_a[name] = qa_new
+                q_g[name] = qg_new
+                d_a[name] = da_new * (da_new > 1e-6)
+                d_g[name] = dg_new * (dg_new > 1e-6)
+            return q_a, q_g, d_a, d_g
+
+        def _keep(_):
+            return dict(st.q_a), dict(st.q_g), dict(st.d_a), dict(st.d_g)
+
+        q_a, q_g, d_a, d_g = jax.lax.cond(
+            st.step % self.Tf == 0, _eig, _keep, None)
 
         la = self.damping + self.weight_decay
         updates = {}

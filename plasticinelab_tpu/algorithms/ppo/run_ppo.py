@@ -44,16 +44,23 @@ def _step(env, action):
     return obs, r, done, done, info
 
 
-def train_ppo(env, path, logger, old_args):
+def train_ppo(env, path, logger, old_args, algo="ppo"):
     num_env_steps = old_args.num_steps
-    rollout_len = 2500
+    # ACKTR updates on short rollouts (reference a2c_acktr.py semantics);
+    # PPO keeps the reference's 2500-step rollouts (run_ppo.py:45-46).
+    rollout_len = 2500 if algo == "ppo" else 200
     gamma, gae_lambda = 0.99, 0.95
     clip_obs, clip_rew = 10.0, 10.0
 
     os.makedirs(path, exist_ok=True)
     obs_dim = env.observation_space.shape[0]
     act_dim = env.action_space.shape[0]
-    agent = PPO(obs_dim, act_dim, seed=old_args.seed)
+    if algo == "acktr":
+        from .kfac import A2C_ACKTR
+
+        agent = A2C_ACKTR(obs_dim, act_dim, seed=old_args.seed)
+    else:
+        agent = PPO(obs_dim, act_dim, seed=old_args.seed)
     rng = np.random.default_rng(old_args.seed)
 
     ob_rms = RunningMeanStd((obs_dim,))
@@ -75,7 +82,8 @@ def train_ppo(env, path, logger, old_args):
         logger.reset()
 
     for update in range(num_updates):
-        agent.set_lr(agent.base_lr * (1 - update / num_updates))  # linear decay
+        if algo == "ppo":  # linear decay; KFAC manages its own step size
+            agent.set_lr(agent.base_lr * (1 - update / num_updates))
         buf = {k: [] for k in ("obs", "actions", "logp", "values", "rewards",
                                "masks", "bad_masks")}
         for t in range(rollout_len):
@@ -135,8 +143,12 @@ def train_ppo(env, path, logger, old_args):
             "returns": returns.astype(np.float32),
             "values": values[:-1].astype(np.float32),
         }
-        loss = agent.update(rollouts, rng)
-        print(f"[PPO] update {update + 1}/{num_updates} loss={loss:.4f}")
+        if algo == "ppo":
+            loss = agent.update(rollouts, rng)
+        else:
+            loss = agent.update(rollouts)
+        print(f"[{algo.upper()}] update {update + 1}/{num_updates} "
+              f"loss={loss:.4f}")
 
     # save actor + normalizer (reference run_ppo.py:200-211)
     import pickle
@@ -144,8 +156,10 @@ def train_ppo(env, path, logger, old_args):
     with open(os.path.join(path, "ppo_model.pkl"), "wb") as f:
         import jax
 
+        params = (agent.params if algo == "acktr"
+                  else agent.state.params)
         pickle.dump(
-            {"params": jax.device_get(agent.state.params),
+            {"params": jax.device_get(params),
              "ob_rms": (ob_rms.mean, ob_rms.var)}, f,
         )
     return agent

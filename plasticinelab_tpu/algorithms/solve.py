@@ -10,7 +10,7 @@ import random
 
 import numpy as np
 
-RL_ALGOS = ["sac", "td3", "ppo"]
+RL_ALGOS = ["sac", "td3", "ppo", "acktr"]
 DIFF_ALGOS = ["action", "nn"]
 
 
@@ -83,6 +83,12 @@ def main(argv=None):
         from .ppo.run_ppo import train_ppo
 
         train_ppo(env, args.path, logger, args)
+    elif args.algo == "acktr":
+        # TPU extension: the reference ships ACKTR (ppo/algo/a2c_acktr.py)
+        # but never exposes it from solve.py; here it is a first-class algo.
+        from .ppo.run_ppo import train_ppo
+
+        train_ppo(env, args.path, logger, args, algo="acktr")
     else:
         raise NotImplementedError(args.algo)
 

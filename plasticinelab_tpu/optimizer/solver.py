@@ -92,10 +92,14 @@ class Solver:
                 self.logger.step(None, None, info["reward"], None, True, info)
             return float(loss), np.asarray(grad, np.float64)
 
+        from ..utils import Timer
+
         actions = optim.parameters.copy()
         for it in range(start_iter, self.cfg.n_iters):
             self.params = actions.copy()
-            loss, grad = forward(env_state["state"], actions)
+            with Timer(f"[solver] iter {it}", print_on_exit=False) as t:
+                loss, grad = forward(env_state["state"], actions)
+            self.last_iter_seconds = t.elapsed
             if loss < best_loss:
                 best_loss, best_action = loss, actions.copy()
             actions = optim.step(grad)

@@ -1,0 +1,4 @@
+from .timer import Timer
+from . import profiling
+
+__all__ = ["Timer", "profiling"]
