@@ -15,6 +15,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _rows_path_used(scene):
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.engine import mpm
+
+    return bool(mpm.use_rows_path(scene, jnp.float32))
+
+
 def main(batch=int(os.environ.get("BENCH_BATCH", "32")),
          horizon=int(os.environ.get("BENCH_HORIZON", "10"))):
     import jax
@@ -45,8 +53,10 @@ def main(batch=int(os.environ.get("BENCH_BATCH", "32")),
     actions = jnp.zeros((batch, horizon, scene.action_dim), state.x.dtype)
     softness = jnp.asarray(666.0, state.x.dtype)
 
+    t0 = time.perf_counter()
     loss, grad = step(states, actions, softness)
     jax.block_until_ready(grad)
+    compile_s = time.perf_counter() - t0
     assert np.isfinite(float(loss))
 
     times = []
@@ -65,7 +75,9 @@ def main(batch=int(os.environ.get("BENCH_BATCH", "32")),
         "vs_baseline": None,
         "extra": {"batch": batch, "horizon": horizon,
                   "wallclock_s": round(best, 3),
-                  "n_particles": scene.simulator.n_particles},
+                  "compile_s": round(compile_s, 1),
+                  "n_particles": scene.simulator.n_particles,
+                  "rows_path": _rows_path_used(scene)},
     }))
 
 

@@ -94,6 +94,17 @@ class PPO:
         _, _, v = self.net.apply(self.state.params, obs[None])
         return float(v[0])
 
+    def act_batch(self, obs: np.ndarray):
+        """(B, obs_dim) -> (actions, logp, values) as numpy — the vec-env
+        collection path."""
+        self._key, sub = jax.random.split(self._key)
+        a, logp, v = self._act(self.state.params, obs, sub)
+        return np.asarray(a), np.asarray(logp), np.asarray(v)
+
+    def get_value_batch(self, obs: np.ndarray) -> np.ndarray:
+        _, _, v = self.net.apply(self.state.params, obs)
+        return np.asarray(v)
+
     # ------------------------------------------------------------------
     def _minibatch_update_impl(self, ts: PPOState, obs, act, old_logp, returns,
                                adv, old_value):

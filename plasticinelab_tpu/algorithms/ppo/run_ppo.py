@@ -44,7 +44,115 @@ def _step(env, action):
     return obs, r, done, done, info
 
 
+def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
+                  rollout_len=256):
+    """PPO on the batched on-device env (parallel/rollout.VecPlasticineEnv):
+    B envs step in one jitted program; rollouts are (T, B) tensors and GAE
+    runs vectorized over the batch. Episodes are fixed-horizon truncations
+    (never true terminations), so bad_masks stay 1 and values bootstrap
+    through episode ends — the reference's time-limit semantics
+    (ikostrikov storage.py) on a real vector env instead of DummyVecEnv."""
+    import time
+
+    from ...parallel.rollout import VecPlasticineEnv
+
+    num_env_steps = old_args.num_steps
+    # rollout_len is per env; batch*rollout_len samples per update
+    gamma, gae_lambda = 0.99, 0.95
+    clip_obs, clip_rew = 10.0, 10.0
+
+    os.makedirs(path, exist_ok=True)
+    if venv is None:
+        venv = VecPlasticineEnv(old_args.env_name, batch=batch,
+                                seed=old_args.seed, horizon=horizon)
+    batch, horizon = venv.batch, venv.horizon
+    agent = PPO(venv.obs_dim, venv.action_dim, seed=old_args.seed)
+    rng = np.random.default_rng(old_args.seed)
+
+    ob_rms = RunningMeanStd((venv.obs_dim,))
+    ret_rms = RunningMeanStd(())
+    ret_acc = np.zeros(batch)
+
+    def norm_obs(o):
+        return np.clip(
+            (o - ob_rms.mean) / np.sqrt(ob_rms.var + 1e-8), -clip_obs,
+            clip_obs).astype(np.float32)
+
+    raw = np.asarray(venv.reset())
+    ob_rms.update(raw)
+    obs = norm_obs(raw)
+    ep_t = 0
+    steps_per_update = batch * rollout_len
+    num_updates = max(num_env_steps // steps_per_update, 1)
+    t0 = time.perf_counter()
+
+    for update in range(num_updates):
+        agent.set_lr(agent.base_lr * (1 - update / num_updates))
+        T, B = rollout_len, batch
+        b_obs = np.zeros((T, B, venv.obs_dim), np.float32)
+        b_act = np.zeros((T, B, venv.action_dim), np.float32)
+        b_logp = np.zeros((T, B), np.float32)
+        b_val = np.zeros((T + 1, B), np.float64)
+        b_rew = np.zeros((T, B), np.float64)
+        b_mask = np.zeros((T, B), np.float64)
+        for t in range(T):
+            actions, logp, value = agent.act_batch(obs)
+            raw_next, reward, done, _ = venv.step(np.clip(actions, -1, 1))
+            raw_next, reward = np.asarray(raw_next), np.asarray(reward)
+            ep_t += 1
+            ob_rms.update(raw_next)
+            ret_acc[:] = ret_acc * gamma + reward
+            ret_rms.update(ret_acc)
+            norm_rew = np.clip(
+                reward / np.sqrt(ret_rms.var + 1e-8), -clip_rew, clip_rew)
+
+            b_obs[t], b_act[t], b_logp[t] = obs, actions, logp
+            b_val[t], b_rew[t] = value, norm_rew
+            b_mask[t] = 0.0 if ep_t >= horizon else 1.0
+            if ep_t >= horizon:
+                raw_next = np.asarray(venv.reset())
+                ob_rms.update(raw_next)
+                ep_t = 0
+                ret_acc[:] = 0.0
+            obs = norm_obs(raw_next)
+
+        b_val[T] = agent.get_value_batch(obs)
+        # GAE over (T, B); all episode ends are truncations -> bad_mask=1,
+        # so no GAE reset beyond the mask itself
+        returns = np.zeros((T, B))
+        gae = np.zeros(B)
+        for t in reversed(range(T)):
+            delta = b_rew[t] + gamma * b_val[t + 1] * b_mask[t] - b_val[t]
+            gae = delta + gamma * gae_lambda * b_mask[t] * gae
+            returns[t] = gae + b_val[t]
+
+        rollouts = {
+            "obs": b_obs.reshape(T * B, -1),
+            "actions": b_act.reshape(T * B, -1),
+            "logp": b_logp.reshape(T * B),
+            "returns": returns.reshape(T * B).astype(np.float32),
+            "values": b_val[:T].reshape(T * B).astype(np.float32),
+        }
+        loss = agent.update(rollouts, rng)
+        done_steps = (update + 1) * steps_per_update
+        dt = time.perf_counter() - t0
+        print(f"[PPO vec] update {update + 1}/{num_updates} loss={loss:.4f} "
+              f"({done_steps / dt:.1f} env steps/s, batch={batch})")
+
+    import pickle
+
+    with open(os.path.join(path, "ppo_model.pkl"), "wb") as f:
+        import jax
+
+        pickle.dump({"params": jax.device_get(agent.state.params),
+                     "ob_rms": (ob_rms.mean, ob_rms.var)}, f)
+    return agent
+
+
 def train_ppo(env, path, logger, old_args, algo="ppo"):
+    vec = int(getattr(old_args, "vec_envs", 0) or 0)
+    if vec > 1 and algo == "ppo":
+        return train_ppo_vec(old_args, path, batch=vec)
     num_env_steps = old_args.num_steps
     # ACKTR updates on short rollouts (reference a2c_acktr.py semantics);
     # PPO keeps the reference's 2500-step rollouts (run_ppo.py:45-46).

@@ -120,7 +120,8 @@ def train(env, path, logger, args):
     return algo
 
 
-def train_vec(env, algo, path, args, batch=8, horizon=50):
+def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
+              start_steps=2500):
     """Collect transitions with the batched on-device env
     (parallel/rollout.VecPlasticineEnv): B envs step in one jitted program,
     the learner updates once per collected transition-batch — the TPU-native
@@ -129,15 +130,16 @@ def train_vec(env, algo, path, args, batch=8, horizon=50):
 
     from ...parallel.rollout import VecPlasticineEnv
 
-    venv = VecPlasticineEnv(args.env_name, batch=batch, seed=args.seed,
-                            horizon=horizon)
+    if venv is None:
+        venv = VecPlasticineEnv(args.env_name, batch=batch, seed=args.seed,
+                                horizon=horizon)
+    batch, horizon = venv.batch, venv.horizon
     replay = ReplayBuffer(venv.obs_dim, venv.action_dim, 1000000)
     rng = np.random.default_rng(args.seed)
     model_dir = os.path.join(path, "model")
     os.makedirs(model_dir, exist_ok=True)
 
     steps = 0
-    start_steps = 2500
     t0 = time.perf_counter()
     obs = np.asarray(venv.reset())
     ep_t = 0

@@ -73,6 +73,10 @@ def train_td3(env, path, logger, old_args):
                               discount=0.99, seed=old_args.seed)
     else:
         raise ValueError(f"unknown policy {which!r}")
+    vec = int(getattr(old_args, "vec_envs", 0) or 0)
+    if vec > 1:
+        return train_td3_vec(policy, old_args, path, batch=vec)
+
     replay_buffer = ReplayBuffer(state_dim, action_dim)
     rng = np.random.default_rng(old_args.seed)
 
@@ -109,5 +113,56 @@ def train_td3(env, path, logger, old_args):
             if episode_num % eval_freq == 0:
                 eval_policy(policy, env, old_args.seed)
 
+    policy.save(os.path.join(path, "model"))
+    return policy
+
+
+def train_td3_vec(policy, old_args, path, batch=8, horizon=50, venv=None,
+                  start_timesteps=2500):
+    """Collect transitions with the batched on-device env
+    (parallel/rollout.VecPlasticineEnv): B envs step in one jitted program,
+    one learner update per collected transition-batch — the TPU-native
+    alternative to the reference's one-env host loop (TD3/run_td3.py)."""
+    import time
+
+    from ...parallel.rollout import VecPlasticineEnv
+
+    if venv is None:
+        venv = VecPlasticineEnv(old_args.env_name, batch=batch,
+                                seed=old_args.seed, horizon=horizon)
+    batch, horizon = venv.batch, venv.horizon
+    replay = ReplayBuffer(venv.obs_dim, venv.action_dim)
+    rng = np.random.default_rng(old_args.seed)
+    os.makedirs(path, exist_ok=True)
+
+    expl_noise = 0.1
+    steps = 0
+    t0 = time.perf_counter()
+    obs = np.asarray(venv.reset())
+    ep_t = 0
+    while steps < old_args.num_steps:
+        if steps < start_timesteps:
+            actions = rng.uniform(
+                -1, 1, (batch, venv.action_dim)).astype(np.float32)
+        else:
+            acts = np.stack([policy.select_action(o) for o in obs])
+            actions = (
+                acts + rng.normal(0, expl_noise, acts.shape)
+            ).clip(-1, 1).astype(np.float32)
+        nobs, reward, done, _ = venv.step(actions)
+        nobs, reward = np.asarray(nobs), np.asarray(reward)
+        ep_t += 1
+        for b in range(batch):
+            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        obs = nobs
+        steps += batch
+        if steps >= start_timesteps:
+            policy.train(replay, 256, rng)
+        if ep_t >= horizon:
+            obs = np.asarray(venv.reset())
+            ep_t = 0
+    dt = time.perf_counter() - t0
+    print(f"[TD3 vec] {steps} env steps in {dt:.1f}s "
+          f"({steps / dt:.1f} steps/s, batch={batch})")
     policy.save(os.path.join(path, "model"))
     return policy

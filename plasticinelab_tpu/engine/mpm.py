@@ -367,6 +367,11 @@ def substep(scene: SceneSpec, mats: Materials, state: SimState, ctrl: Controls,
 
 _STRESS_BLOCK = 2048  # pallas_stress block granularity (16 sublanes x 128)
 
+# Tests: run the rows/Pallas path in interpret mode on CPU (toggled by
+# tests, never set in production — Pallas interpret is orders of magnitude
+# slower but numerically exact vs the TPU kernels' bf16x3 dots).
+ROWS_INTERPRET = False
+
 
 def rows_pad(scene: SceneSpec, n: int) -> int:
     plan = local_transfer.plan_for(scene, crop_size(scene))
@@ -375,13 +380,15 @@ def rows_pad(scene: SceneSpec, n: int) -> int:
 
 
 def use_rows_path(scene: SceneSpec, dtype) -> bool:
-    return (
-        scene.simulator.transfer != "dense"
-        and local_transfer.enabled(scene, crop_size(scene))
-        and jax.default_backend() == "tpu"
-        and dtype == jnp.float32
-        and not jax.config.jax_enable_x64
-    )
+    if scene.simulator.transfer == "dense":
+        return False
+    if not local_transfer.enabled(scene, crop_size(scene)):
+        return False
+    if dtype != jnp.float32:
+        return False
+    if ROWS_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
 
 
 def _fk_step(scene: SceneSpec, poses, ctrl):
@@ -418,20 +425,22 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
     off = local_transfer.crop_offset_cols(scene, x3, D)
     ctx = local_transfer.chunk_offsets_cols(scene, plan, x3, off, D, n)
 
-    outCF = stress_affine_rows(scene, mats)(rows24[6:24])
+    outCF = stress_affine_rows(scene, mats,
+                               interpret=ROWS_INTERPRET)(rows24[6:24])
     newF9, aff9 = outCF[0:9], outCF[9:18]
 
     maskr = (jnp.arange(N, dtype=jnp.int32)[None, :] < n).astype(rows24.dtype)
     rows16 = jnp.concatenate([x3, rows24[3:6], aff9, maskr], axis=0)
 
-    _, _, p2g_rows, g2p_rows_fn = pallas_local.transfer_fns(scene, plan, D)
+    _, _, p2g_rows, g2p_rows_fn = pallas_local.transfer_fns(
+        scene, plan, D, interpret=ROWS_INTERPRET)
     grid4 = p2g_rows(rows16, ctx.offs, off)
 
     poses1 = _fk_step(scene, poses, ctrl)
     if scene.primitives:
         from . import pallas_gridop
 
-        pgo = pallas_gridop.grid_op_fns(scene, D)
+        pgo = pallas_gridop.grid_op_fns(scene, D, interpret=ROWS_INTERPRET)
         pf = jnp.concatenate(
             [poses[0], poses[1], poses1[0], poses1[1]], axis=1
         ).astype(jnp.float32)
@@ -449,9 +458,16 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
 
 
 def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
-                   softness, want_grid_m: bool = False):
+                   softness, want_grid_m: bool = False,
+                   fallback: bool = True):
     """env_step on the rows layout: pack, sort, check windows ONCE, then
     either the Pallas substep scan or (rarely) the jnp dense scan.
+
+    fallback=False skips the lax.cond dense fallback entirely — required
+    for vmapped (batched) execution, where cond lowers to a select that
+    would run BOTH branches for the whole batch. Without the fallback a
+    violated chunk window only clips spline weights into the window edge
+    (bounded accuracy loss on states already headed for the NaN guard).
 
     With want_grid_m, also returns (grid_m_crop (D^3,), off (3,)) of the
     FINAL state — computed by the mass-only Pallas kernel on the still-
@@ -506,7 +522,8 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
         if want_grid_m:
             from . import pallas_local
 
-            mass_rows = pallas_local.mass_fns(scene, plan, D)
+            mass_rows = pallas_local.mass_fns(scene, plan, D,
+                                              interpret=ROWS_INTERPRET)
             rows4m = jnp.concatenate([rows[0:3], maskr], axis=0)
             gm = mass_rows(rows4m, ctx0.offs, off0)
         else:
@@ -533,7 +550,10 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
         gm = _mass_dense(st.x) if want_grid_m else jnp.zeros((0,), f32)
         return out, (st.prim_pos, st.prim_rot, st.prim_gap), gm
 
-    rows, poses, gm = jax.lax.cond(ok, _fast, _slow, rows, poses)
+    if fallback:
+        rows, poses, gm = jax.lax.cond(ok, _fast, _slow, rows, poses)
+    else:
+        rows, poses, gm = _fast(rows, poses)
 
     rows = local_transfer.unsort_cols(order, rank, rows)
     new_state = SimState(
@@ -610,14 +630,17 @@ def make_controls(scene: SceneSpec, action, dtype) -> Controls:
 
 
 def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
-             softness) -> SimState:
+             softness, fallback: bool = True) -> SimState:
     """One environment step = `substeps` physics substeps under constant
-    manipulator velocities (reference MPMSimulator.step :365-376)."""
+    manipulator velocities (reference MPMSimulator.step :365-376).
+    fallback=False (batched/vmapped callers) drops the dense-transfer
+    safety net — see _env_step_rows."""
     dtype = state.x.dtype
     ctrl = make_controls(scene, action, dtype)
 
     if use_rows_path(scene, dtype):
-        return _env_step_rows(scene, mats, state, ctrl, softness)
+        return _env_step_rows(scene, mats, state, ctrl, softness,
+                              fallback=fallback)
 
     use_local = local_transfer.enabled(scene, crop_size(scene))
 
@@ -655,7 +678,7 @@ def env_step(scene: SceneSpec, mats: Materials, state: SimState, action,
 
 
 def env_step_with_grid_m(scene: SceneSpec, mats: Materials, state: SimState,
-                         action, softness):
+                         action, softness, fallback: bool = True):
     """env_step + the final state's crop grid-mass in one fused graph:
     (new_state, grid_m_crop (D^3,), off (3,)). On the rows path the mass
     comes from the mass-only Pallas kernel sharing the env step's sort;
@@ -668,7 +691,7 @@ def env_step_with_grid_m(scene: SceneSpec, mats: Materials, state: SimState,
 
     if use_rows_path(scene, dtype):
         return _env_step_rows(scene, mats, state, ctrl, softness,
-                              want_grid_m=True)
+                              want_grid_m=True, fallback=fallback)
 
     new_state = env_step(scene, mats, state, action, softness)
     aw = axis_weights(scene, new_state.x, D)

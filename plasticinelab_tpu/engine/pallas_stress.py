@@ -423,14 +423,14 @@ def stress_affine_pallas_bwd(scene, mats, C, F, gNewF, gAffine):
 _ROWS_CACHE = {}
 
 
-def stress_affine_rows(scene, mats):
+def stress_affine_rows(scene, mats, interpret: bool = False):
     """Returns fn(rowsCF (18, N) f32) -> (18, N): rows 0-8 new_F, 9-17
     affine. N must be a multiple of 2048 (= the kernel's 16x128 block).
     Channel rows ARE the kernel's component tiles (reshape only — no
     (n, 3, 3) transposes), so this wrapper adds no layout traffic.
     Same forward/backward kernels as stress_affine_pallas."""
     key = (scene.simulator, float(mats.mu), float(mats.lam),
-           float(mats.yield_stress))
+           float(mats.yield_stress), interpret)
     if key in _ROWS_CACHE:
         return _ROWS_CACHE[key]
 
@@ -447,6 +447,7 @@ def stress_affine_rows(scene, mats):
             in_specs=[spec] * 18,
             out_specs=[spec] * 18,
             out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+            interpret=interpret,
         )(*comps)
         return jnp.stack([o.reshape(N) for o in out], axis=0)
 
@@ -462,6 +463,7 @@ def stress_affine_rows(scene, mats):
             in_specs=[spec] * 36,
             out_specs=[spec] * 18,
             out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+            interpret=interpret,
         )(*comps)
         return jnp.stack([o.reshape(N) for o in out], axis=0)
 

@@ -60,14 +60,20 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
 
     import dataclasses
 
-    scene = dataclasses.replace(
-        scene, simulator=dataclasses.replace(scene.simulator,
-                                             transfer="dense"))
+    # The rows/Pallas path batches directly (vmapped pallas_call grids,
+    # fallback=False so no lax.cond runs both branches under vmap). Only
+    # when it is unavailable (CPU tests, x64, tiny scenes) downgrade to the
+    # vmappable chunked-dense transfer.
+    if not mpm.use_rows_path(scene, jnp.float32):
+        scene = dataclasses.replace(
+            scene, simulator=dataclasses.replace(scene.simulator,
+                                                 transfer="dense"))
 
     def rollout_loss(state0, actions, softness):
         @jax.checkpoint
         def step_fn(carry, action):
-            st = mpm.env_step(scene, mats, carry, action, softness)
+            st = mpm.env_step(scene, mats, carry, action, softness,
+                              fallback=False)
             info = losses_mod.loss_and_components(scene, loss_state, st)
             return st, info["loss"]
 

@@ -71,14 +71,16 @@ class VecPlasticineEnv:
         if particles is None:
             particles, _ = build_particles(scene.shapes)
         scene = scene.with_n_particles(len(particles))
-        # batched stepping vmaps the physics — force the vmappable
-        # chunked-dense transfer backend (the Pallas rows kernels don't
-        # support a batch dimension)
+        # Batched stepping vmaps the physics. The rows/Pallas kernels batch
+        # directly (vmapped pallas_call grids, fallback=False); only when
+        # that path is unavailable (CPU, x64, tiny scenes) force the
+        # vmappable chunked-dense transfer backend.
         import dataclasses
 
-        scene = dataclasses.replace(
-            scene, simulator=dataclasses.replace(scene.simulator,
-                                                 transfer="dense"))
+        if not mpm.use_rows_path(scene, jnp.float32):
+            scene = dataclasses.replace(
+                scene, simulator=dataclasses.replace(scene.simulator,
+                                                     transfer="dense"))
         self.scene = scene
         self.batch = batch
         self.horizon = horizon
@@ -119,7 +121,7 @@ class VecPlasticineEnv:
 
         def one_step(state, action, softness):
             st, gm, off = mpm.env_step_with_grid_m(
-                scene, mats, state, action, softness)
+                scene, mats, state, action, softness, fallback=False)
             info = losses_mod.loss_from_crop(scene, loss_state, gm, off, st)
             return st, _obs_in_graph(scene, st), info["loss"], info["iou"]
 
