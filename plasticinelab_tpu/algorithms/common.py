@@ -89,6 +89,80 @@ class Actor(nn.Module):
         return self.max_action * jnp.tanh(nn.Dense(self.action_dim)(h))
 
 
+class ConvEncoder(nn.Module):
+    """NatureCNN-style torso for (H, W, 3) image observations in [0, 1]
+    (visual-RL extension — BASELINE configs[3]; the reference has no
+    pixel-observation path, its obs are state vectors, plb/envs/env.py:33)."""
+
+    feature_dim: int = 256
+
+    @nn.compact
+    def __call__(self, img):
+        h = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4))(img))
+        h = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2))(h))
+        h = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1))(h))
+        h = h.reshape((h.shape[0], -1))
+        return nn.relu(nn.Dense(self.feature_dim)(h))
+
+
+class VisualGaussianPolicy(nn.Module):
+    """ConvEncoder + tanh-Gaussian head on image obs."""
+
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, img):
+        f = ConvEncoder()(img)
+        return GaussianPolicy(action_dim=self.action_dim, hidden=(256,))(f)
+
+    sample = GaussianPolicy.sample
+
+
+class VisualTwinQ(nn.Module):
+    """ConvEncoder + twin Q heads on image obs (own encoder — standard
+    practice: critic gradients shape the representation)."""
+
+    @nn.compact
+    def __call__(self, img, act):
+        f = ConvEncoder()(img)
+        return TwinQ(hidden=(256,))(f, act)
+
+
+class ImageReplayBuffer:
+    """Ring buffer for uint8 image observations (stored compact; sampled as
+    float32 in [0, 1]). 100k 64^2 rgb frames ~ 2.5 GB host RAM."""
+
+    def __init__(self, obs_shape: Tuple[int, ...], action_dim: int,
+                 max_size: int = 100_000):
+        self.max_size = max_size
+        self.ptr = 0
+        self.size = 0
+        self.state = np.zeros((max_size,) + tuple(obs_shape), np.uint8)
+        self.action = np.zeros((max_size, action_dim), np.float32)
+        self.next_state = np.zeros((max_size,) + tuple(obs_shape), np.uint8)
+        self.reward = np.zeros((max_size,), np.float32)
+        self.not_done = np.zeros((max_size,), np.float32)
+
+    def add(self, state, action, next_state, reward, done):
+        self.state[self.ptr] = state
+        self.action[self.ptr] = action
+        self.next_state[self.ptr] = next_state
+        self.reward[self.ptr] = reward
+        self.not_done[self.ptr] = 1.0 - done
+        self.ptr = (self.ptr + 1) % self.max_size
+        self.size = min(self.size + 1, self.max_size)
+
+    def sample(self, batch_size: int, rng: np.random.Generator):
+        ind = rng.integers(0, self.size, size=batch_size)
+        return (
+            self.state[ind].astype(np.float32) / 255.0,
+            self.action[ind],
+            self.next_state[ind].astype(np.float32) / 255.0,
+            self.reward[ind],
+            self.not_done[ind],
+        )
+
+
 class ReplayBuffer:
     """Ring buffer (reference TD3/utils.py:5-40)."""
 

@@ -40,10 +40,17 @@ class Agent:
         self._eval_interval = eval_interval
         self._num_eval_episodes = num_eval_episodes
         self._rng = np.random.default_rng(seed)
-        self._replay = ReplayBuffer(
-            env.observation_space.shape[0], env.action_space.shape[0],
-            memory_size,
-        )
+        obs_shape = env.observation_space.shape
+        if len(obs_shape) == 3:  # visual obs: compact uint8 storage
+            from ..common import ImageReplayBuffer
+
+            self._replay = ImageReplayBuffer(
+                obs_shape, env.action_space.shape[0],
+                min(memory_size, 100_000))
+        else:
+            self._replay = ReplayBuffer(
+                obs_shape[0], env.action_space.shape[0], memory_size,
+            )
         self._model_dir = os.path.join(log_dir, "model")
         os.makedirs(self._model_dir, exist_ok=True)
         self._best_eval = -np.inf
@@ -101,8 +108,9 @@ class Agent:
 
 
 def train(env, path, logger, args):
+    obs_shape = env.observation_space.shape
     algo = SAC(
-        state_dim=env.observation_space.shape[0],
+        state_dim=(obs_shape if len(obs_shape) == 3 else obs_shape[0]),
         action_dim=env.action_space.shape[0],
         gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
         target_update_coef=0.005, seed=args.seed,

@@ -29,15 +29,27 @@ class SACState(NamedTuple):
 class SAC:
     def __init__(self, state_dim, action_dim, gamma=0.99, policy_lr=3e-4,
                  q_lr=3e-4, entropy_lr=3e-4, target_update_coef=0.005, seed=0):
+        """state_dim: int (state-vector obs, reference parity) or a 3-tuple
+        (H, W, C) image shape (visual-obs extension, BASELINE configs[3]) —
+        networks switch to ConvEncoder torsos; explore/exploit then expect
+        uint8 images and scale to [0, 1]."""
         self.gamma = gamma
         self.tau = target_update_coef
         self.target_entropy = -float(action_dim)
 
-        self.policy_def = GaussianPolicy(action_dim=action_dim)
-        self.q_def = TwinQ()
+        self.visual = isinstance(state_dim, (tuple, list))
+        if self.visual:
+            from ..common import VisualGaussianPolicy, VisualTwinQ
+
+            self.policy_def = VisualGaussianPolicy(action_dim=action_dim)
+            self.q_def = VisualTwinQ()
+            obs = jnp.zeros((1,) + tuple(state_dim))
+        else:
+            self.policy_def = GaussianPolicy(action_dim=action_dim)
+            self.q_def = TwinQ()
+            obs = jnp.zeros((1, state_dim))
         key = jax.random.PRNGKey(seed)
         k1, k2, self._key = jax.random.split(key, 3)
-        obs = jnp.zeros((1, state_dim))
         act = jnp.zeros((1, action_dim))
         policy_params = self.policy_def.init(k1, obs)
         q_params = self.q_def.init(k2, obs, act)
@@ -65,12 +77,18 @@ class SAC:
         mean, _ = self.policy_def.apply(params, obs)
         return jnp.tanh(mean)
 
+    def _prep(self, state: np.ndarray) -> np.ndarray:
+        if self.visual:
+            return state[None].astype(np.float32) / 255.0
+        return state[None]
+
     def explore(self, state: np.ndarray) -> np.ndarray:
         self._key, sub = jax.random.split(self._key)
-        return np.asarray(self._explore(self.state.policy, state[None], sub))[0]
+        return np.asarray(
+            self._explore(self.state.policy, self._prep(state), sub))[0]
 
     def exploit(self, state: np.ndarray) -> np.ndarray:
-        return np.asarray(self._exploit(self.state.policy, state[None]))[0]
+        return np.asarray(self._exploit(self.state.policy, self._prep(state)))[0]
 
     # ---- learning ----
     def _update_impl(self, ts: SACState, batch, key):

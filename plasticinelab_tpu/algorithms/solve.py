@@ -39,6 +39,10 @@ def get_args(argv=None):
     parser.add_argument("--vec_envs", type=int, default=0,
                         help="collect RL data with N batched on-device envs "
                              "(TPU-native extension; 0 = reference loop)")
+    parser.add_argument("--obs_mode", type=str, default="state",
+                        choices=["state", "rgb"],
+                        help="rgb = rendered 64x64 image observations "
+                             "(visual-RL extension, BASELINE configs[3])")
     parser.add_argument("--softness", type=float, default=666.0)
     parser.add_argument("--optim", type=str, default="Adam",
                         choices=["Adam", "Momentum"])
@@ -60,6 +64,7 @@ def main(argv=None):
         args.env_name, nn=(args.algo == "nn"), sdf_loss=args.sdf_loss,
         density_loss=args.density_loss, contact_loss=args.contact_loss,
         soft_contact_loss=args.soft_contact_loss,
+        obs_mode=getattr(args, "obs_mode", "state"),
     )
     env.unwrapped.seed(args.seed)
 

@@ -42,8 +42,8 @@ from .transfer import (
 )
 
 __all__ = [
-    "substep", "env_step", "compute_grid_m", "make_controls",
-    "von_mises_project", "stress_affine", "grid_op",
+    "substep", "env_step", "env_step_batched", "compute_grid_m",
+    "make_controls", "von_mises_project", "stress_affine", "grid_op",
 ]
 
 
@@ -564,6 +564,150 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
     if want_grid_m:
         return new_state, gm, off0
     return new_state
+
+
+def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_b, poses_b,
+                         ctrl_b, softness_b, n: int):
+    """One substep on batched rows-layout state via the explicit batched
+    Pallas kernels (grid (B, NC)); jnp glue vmapped. rows_b (B, 24, N);
+    poses_b / ctrl_b with leading B. Crop and chunk-window origins are
+    recomputed per substep from the current positions (mirroring
+    substep_rows), so windows track drift within the env step."""
+    from . import pallas_local
+    from .pallas_stress import stress_affine_rows
+
+    D = crop_size(scene)
+    plan = local_transfer.plan_for(scene, D)
+    B, _, N = rows_b.shape
+    itp = ROWS_INTERPRET
+
+    x3 = rows_b[:, 0:3]
+    off_b = jax.vmap(
+        lambda x: local_transfer.crop_offset_cols(scene, x, D))(x3)
+    offs_b = jax.vmap(
+        lambda x, o: local_transfer.chunk_offsets_cols(
+            scene, plan, x, o, D, n).offs)(x3, off_b)
+    outCF = stress_affine_rows(scene, mats, interpret=itp)(rows_b[:, 6:24])
+    newF9, aff9 = outCF[:, 0:9], outCF[:, 9:18]
+
+    maskr = jnp.broadcast_to(
+        (jnp.arange(N, dtype=jnp.int32) < n).astype(rows_b.dtype)[None, None],
+        (B, 1, N))
+    rows16 = jnp.concatenate([x3, rows_b[:, 3:6], aff9, maskr], axis=1)
+
+    p2g_b, g2p_b = pallas_local.transfer_fns_batched(scene, plan, D,
+                                                     interpret=itp)
+    grid4 = p2g_b(rows16, offs_b, off_b)  # (B, 4, D^3)
+
+    poses1 = jax.vmap(lambda p, c: _fk_step(scene, p, c))(poses_b, ctrl_b)
+    if scene.primitives:
+        from . import pallas_gridop
+
+        pgo_b = pallas_gridop.grid_op_fns_batched(scene, D, interpret=itp)
+        pf = jnp.concatenate(
+            [poses_b[0], poses_b[1], poses1[0], poses1[1]], axis=2
+        ).astype(jnp.float32)
+        gap2 = jnp.stack([poses_b[2], poses1[2]], axis=2).astype(jnp.float32)
+        gv3 = pgo_b(grid4, pf, gap2, softness_b, off_b)  # (B, 3, D^3)
+    else:
+        gv3 = jax.vmap(
+            lambda g4, pf_, pf1, o: grid_op_cm(
+                scene, g4, pf_, pf1, softness_b[0], D, o)
+        )(grid4, poses_b, poses1, off_b)
+
+    rows4 = jnp.concatenate([x3, maskr], axis=1)
+    out15 = g2p_b(rows4, gv3, offs_b, off_b)
+
+    new_rows = jnp.concatenate(
+        [out15[:, 12:15], out15[:, 0:3], out15[:, 3:12], newF9], axis=1)
+    return new_rows, poses1
+
+
+def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
+                     actions, softness, want_grid_m: bool = False):
+    """Batched env step on the rows layout WITHOUT jax.vmap over the
+    kernels: vmap's pallas batching rule blocks the SMEM operands along
+    batch, which Mosaic rejects — instead the kernels take an explicit
+    (B, NC) grid (pallas_local.transfer_fns_batched,
+    pallas_gridop.grid_op_fns_batched) and the jnp glue (sort, windows,
+    FK) is vmapped. No dense fallback (the batched contract is the same as
+    env_step(fallback=False)).
+
+    states: SimState with leading batch B; actions (B, action_dim);
+    softness scalar or (B,). Returns new states, plus per-env
+    (grid_m (B, D^3), off (B, 3)) when want_grid_m.
+
+    New capability vs the reference (one env per process,
+    plb/engine/taichi_env.py:6); unblocks BASELINE config 5."""
+    sim = scene.simulator
+    D = crop_size(scene)
+    plan = local_transfer.plan_for(scene, D)
+    B, n = states.x.shape[0], states.x.shape[1]
+    N = rows_pad(scene, n)
+    f32 = jnp.float32
+
+    ctrl_b = jax.vmap(lambda a: make_controls(scene, a, f32))(
+        jnp.asarray(actions, f32))
+    softness_b = jnp.broadcast_to(jnp.asarray(softness, f32), (B,))
+
+    rows = jnp.concatenate(
+        [states.x.transpose(0, 2, 1), states.v.transpose(0, 2, 1),
+         states.C.reshape(B, n, 9).transpose(0, 2, 1),
+         states.F.reshape(B, n, 9).transpose(0, 2, 1)], axis=1,
+    ).astype(f32)
+
+    def _sort_one(r):
+        key = local_transfer.sort_keys_cols(scene, r[0:3], n)
+        return local_transfer.sort_cols(key, r)
+
+    rows, order, rank = jax.vmap(_sort_one)(rows)
+    rows = jax.vmap(lambda r: _pad_rows_cols(r, n, N))(rows)
+
+    # env-step-entry windows (2-cell drift margin): used only by the final
+    # mass kernel, which shares the env step's sort like _env_step_rows
+    if want_grid_m:
+        off0_b = jax.vmap(
+            lambda r: local_transfer.crop_offset_cols(scene, r[0:3], D))(rows)
+        offs0_b = jax.vmap(
+            lambda r, o: local_transfer.chunk_offsets_cols(
+                scene, plan, r[0:3], o, D, n, margin=2).offs
+        )(rows, off0_b)
+
+    poses_b = (states.prim_pos.astype(f32), states.prim_rot.astype(f32),
+               states.prim_gap.astype(f32))
+
+    def body(carry, _):
+        r, p = carry
+        return substep_rows_batched(
+            scene, mats, r, p, ctrl_b, softness_b, n), None
+
+    if sim.remat in ("substep", "both"):
+        body = jax.checkpoint(body)
+    (rows, poses_b), _ = jax.lax.scan(body, (rows, poses_b), None,
+                                      length=sim.substeps)
+
+    if want_grid_m:
+        from . import pallas_local
+
+        mass_b = pallas_local.mass_fns_batched(scene, plan, D,
+                                               interpret=ROWS_INTERPRET)
+        maskr = jnp.broadcast_to(
+            (jnp.arange(N, dtype=jnp.int32) < n).astype(f32)[None, None],
+            (B, 1, N))
+        rows4m = jnp.concatenate([rows[:, 0:3], maskr], axis=1)
+        gm = mass_b(rows4m, offs0_b, off0_b)  # (B, D^3)
+
+    rows = rows[:, :, :n]
+    rows = jax.vmap(local_transfer.unsort_cols)(order, rank, rows)
+    new_states = SimState(
+        x=rows[:, 0:3].transpose(0, 2, 1), v=rows[:, 3:6].transpose(0, 2, 1),
+        C=rows[:, 6:15].transpose(0, 2, 1).reshape(B, n, 3, 3),
+        F=rows[:, 15:24].transpose(0, 2, 1).reshape(B, n, 3, 3),
+        prim_pos=poses_b[0], prim_rot=poses_b[1], prim_gap=poses_b[2],
+    )
+    if want_grid_m:
+        return new_states, gm, off0_b
+    return new_states
 
 
 def _pad_rows_cols(rows, n: int, N: int):

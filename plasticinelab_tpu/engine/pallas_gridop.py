@@ -33,14 +33,27 @@ from jax.experimental.pallas import tpu as pltpu
 _TX = 8  # x-cells per tile; crop sizes are multiples of 8
 
 
-def _tile_coords(i, off_ref, Tx, Ly, D):
-    """Global (ci, cj, ck) int32 arrays for x-tile i, shape (Tx, Ly*D)."""
+def _tile_coords(i, off, Tx, Ly, D):
+    """Global (ci, cj, ck) int32 arrays for x-tile i, shape (Tx, Ly*D).
+    off: 3 scalars (crop origin)."""
     ci = (jax.lax.broadcasted_iota(jnp.int32, (Tx, Ly * D), 0)
-          + i * Tx + off_ref[0])
+          + i * Tx + off[0])
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tx, Ly * D), 1)
-    cj = lane // D + off_ref[1]
-    ck = lane % D + off_ref[2]
+    cj = lane // D + off[1]
+    ck = lane % D + off[2]
     return ci, cj, ck
+
+
+def _grid_ids(off_ref, soft_ref, nb):
+    """Tile index + crop origin + softness for the single-env grid (NT,)
+    [nb=0] or the batched grid (B, NT) [nb=1] with off (B, 3) / soft (B,)
+    full-array SMEM."""
+    if nb:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        return i, [off_ref[b, k] for k in range(3)], soft_ref[b]
+    i = pl.program_id(0)
+    return i, [off_ref[k] for k in range(3)], soft_ref[0]
 
 
 def _unpack_poses(pf, gap, k):
@@ -61,31 +74,30 @@ def _unpack_poses(pf, gap, k):
 
 
 def _fwd_kernel(off_ref, soft_ref, pf_ref, gap_ref, g4_ref, out_ref, *,
-                scene, Ly, D):
+                scene, Ly, D, nb=0):
     from . import mpm
 
-    i = pl.program_id(0)
+    i, off, soft = _grid_ids(off_ref, soft_ref, nb)
     Tx = g4_ref.shape[1]
     k = len(scene.primitives)
-    coords = _tile_coords(i, off_ref, Tx, Ly, D)
+    coords = _tile_coords(i, off, Tx, Ly, D)
     pose_f, pose_f1 = _unpack_poses(pf_ref[...], gap_ref[...], k)
     g4c = tuple(g4_ref[s] for s in range(4))
-    v = mpm.grid_op_core(scene, g4c, coords, pose_f, pose_f1, soft_ref[0])
+    v = mpm.grid_op_core(scene, g4c, coords, pose_f, pose_f1, soft)
     for s in range(3):
         out_ref[s] = v[s]
 
 
 def _bwd_kernel(off_ref, soft_ref, pf_ref, gap_ref, g4_ref, ct_ref,
-                dg4_ref, dpf_ref, dgap_ref, *, scene, Ly, D):
+                dg4_ref, dpf_ref, dgap_ref, *, scene, Ly, D, nb=0):
     """jax.vjp of grid_op_core per x-tile; pose cotangents accumulate
     across tiles."""
     from . import mpm
 
-    i = pl.program_id(0)
+    i, off, softness = _grid_ids(off_ref, soft_ref, nb)
     Tx = g4_ref.shape[1]
     k = len(scene.primitives)
-    coords = _tile_coords(i, off_ref, Tx, Ly, D)
-    softness = soft_ref[0]
+    coords = _tile_coords(i, off, Tx, Ly, D)
 
     def f(g4c, pf, gap):
         pose_f, pose_f1 = _unpack_poses(pf, gap, k)
@@ -180,3 +192,81 @@ def grid_op_fns(scene, D: int, interpret: bool = False):
     grid_op.defvjp(grid_op_fwd, grid_op_bwd)
     _CACHE[key] = grid_op
     return grid_op
+
+
+def grid_op_fns_batched(scene, D: int, interpret: bool = False):
+    """Batched grid_op: grid (B, NT), batch dim squeezed out of VMEM blocks,
+    off (B, 3) / softness (B,) full-array SMEM. Same kernel bodies (nb=1).
+
+      grid_op_b(g4 (B, 4, D^3), pf (B, k, 14), gap (B, k, 2),
+                softness (B,), off (B, 3)) -> (B, 3, D^3)
+    """
+    key = ("batched", scene.simulator, scene.primitives, D, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    Ly = D
+    k = len(scene.primitives)
+    assert k >= 1 and D % _TX == 0
+    f32 = jnp.float32
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    NT = D // _TX
+
+    g4_spec = pl.BlockSpec((None, 4, _TX, Ly * D), lambda b, i: (b, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    g3_spec = pl.BlockSpec((None, 3, _TX, Ly * D), lambda b, i: (b, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    pf_spec = pl.BlockSpec((None, k, 14), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    gap_spec = pl.BlockSpec((None, k, 2), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(g4, pf, gap, softness, off):
+        B = g4.shape[0]
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, scene=scene, Ly=Ly, D=D, nb=1),
+            grid=(B, NT),
+            in_specs=[smem, smem, pf_spec, gap_spec, g4_spec],
+            out_specs=g3_spec,
+            out_shape=jax.ShapeDtypeStruct((B, 3, D, Ly * D), f32),
+            interpret=interpret,
+        )(off, softness.reshape(B).astype(f32), pf, gap,
+          g4.reshape(B, 4, D, Ly * D))
+
+    def bwd_call(g4, pf, gap, softness, off, ct):
+        B = g4.shape[0]
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, scene=scene, Ly=Ly, D=D, nb=1),
+            grid=(B, NT),
+            in_specs=[smem, smem, pf_spec, gap_spec, g4_spec, g3_spec],
+            out_specs=(g4_spec, pf_spec, gap_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 4, D, Ly * D), f32),
+                jax.ShapeDtypeStruct((B, k, 14), f32),
+                jax.ShapeDtypeStruct((B, k, 2), f32),
+            ),
+            interpret=interpret,
+        )(off, softness.reshape(B).astype(f32), pf, gap,
+          g4.reshape(B, 4, D, Ly * D), ct.reshape(B, 3, D, Ly * D))
+
+    @jax.custom_vjp
+    def grid_op_b(g4, pf, gap, softness, off):
+        B = g4.shape[0]
+        return fwd_call(g4, pf, gap, softness, off).reshape(B, 3, D ** 3)
+
+    def grid_op_b_fwd(g4, pf, gap, softness, off):
+        return grid_op_b(g4, pf, gap, softness, off), (g4, pf, gap, softness,
+                                                       off)
+
+    def grid_op_b_bwd(res, ct):
+        g4, pf, gap, softness, off = res
+        B = g4.shape[0]
+        dg4, dpf, dgap = bwd_call(g4, pf, gap, softness, off,
+                                  ct.astype(jnp.float32))
+        return (dg4.reshape(B, 4, D ** 3), dpf, dgap,
+                jnp.zeros_like(softness),
+                np.zeros(off.shape, jax.dtypes.float0))
+
+    grid_op_b.defvjp(grid_op_b_fwd, grid_op_b_bwd)
+    _CACHE[key] = grid_op_b
+    return grid_op_b

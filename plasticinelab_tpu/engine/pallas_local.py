@@ -86,6 +86,21 @@ def _dot(a, b, dims):
     return d(ah, bh) + d(al, bh) + d(ah, bl)
 
 
+def _grid_ids(offs_ref, off_ref, nb):
+    """Chunk index + per-chunk window origin + crop origin x, for both the
+    single-env grid (NC,) [nb=0] and the batched grid (B, NC) [nb=1]. In the
+    batched case offs is (B, NC, 3) and off (B, 3), both full-array SMEM —
+    jax.vmap's pallas batching rule would instead BLOCK the SMEM operands
+    along batch, which Mosaic rejects; these explicit grids are why the
+    batched path exists."""
+    if nb:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        return i, [offs_ref[b, i, k] for k in range(3)], off_ref[b, 0]
+    i = pl.program_id(0)
+    return i, [offs_ref[i, k] for k in range(3)], off_ref[0]
+
+
 # contract last dim of LHS with last dim of RHS: (M, P) x (N, P) -> (M, N)
 _DN_PP = (((1,), (1,)), ((), ()))
 # contract last dim of LHS with first dim of RHS: (M, K) x (K, N) -> (M, N)
@@ -135,14 +150,14 @@ def _weights(px, off_s, L, dtype, want_prime):
 # ---------------------------------------------------------------------------
 
 def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
-                    dx, inv_dx, p_mass):
+                    dx, inv_dx, p_mass, nb=0):
     """rows (16, P): x0..2, v0..2, aff00..22 (row-major), mask.
     out (4, D, Ly, D): the whole crop (channels: mom x/y/z, mass), x on a
     major axis, accumulated across the chunk grid.
 
     mom_s(cell j) = sum_p W_j * (p_mass * v_s + dx * aff_s . dpos_j);
     the dpos factors live inside the WD weight variants."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -157,7 +172,6 @@ def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
     mask = rows_ref[15:16, :]
 
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, WxD, _, _ = _weights(px[0], offs[0], Lx, dtype, False)
     Wy, WyD, _, _ = _weights(px[1], offs[1], Ly, dtype, False)
     Wz, WzD, _, _ = _weights(px[2], offs[2], D, dtype, False)
@@ -187,7 +201,7 @@ def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
     t0 = _dot(E0, Wz, _DN_PP).reshape(4, Lx * Ly, D)
     t1 = _dot(E1, WzD, _DN_PP).reshape(3, Lx * Ly, D)
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     for s in range(3):
         tile = (t0[s] + t1[s]).reshape(Lx, Ly, D)
         out_ref[s, pl.ds(ox, Lx)] = out_ref[s, pl.ds(ox, Lx)] + tile
@@ -196,24 +210,23 @@ def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
 
 
 def _g2p_fwd_kernel(offs_ref, off_ref, rows_ref, g_ref, out_ref, *, Lx, Ly,
-                    D, G, dx, inv_dx, dt):
+                    D, G, dx, inv_dx, dt, nb=0):
     """rows (4, P): x0..2, mask. g (3, D, Ly, D): the whole crop, resident.
     out (15, P): v0..2, C00..C22 (row-major s*3+axis), nx0..2.
 
     V_s = sum_j W_j g_sj;  C_s,axis = 4*inv_dx * sum_j W_j dpos_axis,j g_sj
     — the dpos factor lives inside the WD variants (no V*rel0 term)."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
     x = [rows_ref[k : k + 1, :] for k in range(3)]
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, WxD, _, _ = _weights(px[0], offs[0], Lx, dtype, False)
     Wy, WyD, _, _ = _weights(px[1], offs[1], Ly, dtype, False)
     Wz, WzD, _, _ = _weights(px[2], offs[2], D, dtype, False)
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     g = jnp.concatenate(
         [g_ref[s, pl.ds(ox, Lx)].reshape(Lx * Ly, D) for s in range(3)],
         axis=0,
@@ -262,10 +275,10 @@ def _g2p_fwd_kernel(offs_ref, off_ref, rows_ref, g_ref, out_ref, *, Lx, Ly,
 # ---------------------------------------------------------------------------
 
 def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
-                    D, G, dx, inv_dx, p_mass):
+                    D, G, dx, inv_dx, p_mass, nb=0):
     """ct (4, D, Ly, D): cotangent crop, resident (channels: mom x/y/z,
     mass). out (15, P): dx0..2, dv0..2, daff00..22."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -276,12 +289,11 @@ def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
     mask = rows_ref[15:16, :]
 
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, WxD, dWx, dWxD = _weights(px[0], offs[0], Lx, dtype, True)
     Wy, WyD, dWy, dWyD = _weights(px[1], offs[1], Ly, dtype, True)
     Wz, WzD, dWz, dWzD = _weights(px[2], offs[2], D, dtype, True)
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     ct = jnp.concatenate(
         [ct_ref[s, pl.ds(ox, Lx)].reshape(Lx * Ly, D) for s in range(4)],
         axis=0,
@@ -363,11 +375,11 @@ def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
 
 
 def _g2p_bwd_kernel(offs_ref, off_ref, rows_ref, g_ref, ct_ref, dg_ref,
-                    dx_ref, *, Lx, Ly, D, G, dx, inv_dx, dt):
+                    dx_ref, *, Lx, Ly, D, G, dx, inv_dx, dt, nb=0):
     """ct (15, P): ct_v0..2, ct_C00..22, ct_nx0..2 (zero on padded lanes).
     g (3, D, Ly, D): forward grid crop (residual), resident.
     dg (3, D, Ly, D): grid cotangent crop, accumulated; dx_ref (3, P)."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = dx_ref.dtype
     P = rows_ref.shape[1]
 
@@ -377,7 +389,6 @@ def _g2p_bwd_kernel(offs_ref, off_ref, rows_ref, g_ref, ct_ref, dg_ref,
 
     x = [rows_ref[k : k + 1, :] for k in range(3)]
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, WxD, dWx, dWxD = _weights(px[0], offs[0], Lx, dtype, True)
     Wy, WyD, dWy, dWyD = _weights(px[1], offs[1], Ly, dtype, True)
     Wz, WzD, dWz, dWzD = _weights(px[2], offs[2], D, dtype, True)
@@ -387,7 +398,7 @@ def _g2p_bwd_kernel(offs_ref, off_ref, rows_ref, g_ref, ct_ref, dg_ref,
             for s in range(3)]
     ct_nx = [ct_ref[12 + s : 13 + s, :] for s in range(3)]
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     g = jnp.concatenate(
         [g_ref[s, pl.ds(ox, Lx)].reshape(Lx * Ly, D) for s in range(3)],
         axis=0,
@@ -692,15 +703,221 @@ def transfer_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# batched variants: grid (B, NC), batch dim squeezed out of every VMEM block
+# (leading None in the block shape), SMEM operands full-array (B, NC, 3) /
+# (B, 3). Same kernel bodies (nb=1). This is the explicit form of what
+# jax.vmap's pallas batching rule would build, minus the blocked-SMEM specs
+# Mosaic rejects — it unblocks BASELINE config 5 (256 envs x 25k particles).
+# ---------------------------------------------------------------------------
+
+
+def transfer_fns_batched(scene, plan: LocalPlan, D: int,
+                         interpret: bool = False):
+    """Returns (p2g_rows_b, g2p_rows_b):
+
+      p2g_rows_b(rows16 (B, 16, N), offs (B, NC, 3), off (B, 3))
+          -> grid4 (B, 4, D^3)
+      g2p_rows_b(rows4 (B, 4, N), grid3 (B, 3, D^3), offs, off)
+          -> out15 (B, 15, N)
+
+    custom-VJP'd like the single-env fns (same hand-derived backward
+    kernels, batched grids)."""
+    sim = scene.simulator
+    geom = _Geom(P=plan.P, Lx=plan.Lx, Ly=plan.Ly, D=D, G=sim.n_grid,
+                 dx=float(sim.dx), inv_dx=float(sim.inv_dx),
+                 p_mass=float(sim.p_mass), dt=float(sim.dt))
+    key = ("batched", geom, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    P, Lx, Ly = geom.P, geom.Lx, geom.Ly
+    assert Ly == D, "crop-resident kernels require full-depth y (Ly == D)"
+    kw = dict(Lx=Lx, Ly=Ly, D=D, G=geom.G, dx=geom.dx, inv_dx=geom.inv_dx,
+              nb=1)
+    f32 = jnp.float32
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    crop4 = pl.BlockSpec((None, 4, D, Ly, D), lambda b, i: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    crop3 = pl.BlockSpec((None, 3, D, Ly, D), lambda b, i: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def rspec(rows):
+        return pl.BlockSpec((None, rows, P), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def p2g_call(rows16, offs, off):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_p2g_fwd_kernel, p_mass=geom.p_mass, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(16)],
+            out_specs=crop4,
+            out_shape=jax.ShapeDtypeStruct((B, 4, D, Ly, D), f32),
+            interpret=interpret,
+        )(offs, off, rows16)
+
+    def p2g_bwd_call(rows16, offs, off, ct_crop):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_p2g_bwd_kernel, p_mass=geom.p_mass, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(16), crop4],
+            out_specs=rspec(15),
+            out_shape=jax.ShapeDtypeStruct((B, 15, NC * P), f32),
+            interpret=interpret,
+        )(offs, off, rows16, ct_crop)
+
+    def g2p_call(rows4, g_crop, offs, off):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_g2p_fwd_kernel, dt=geom.dt, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(4), crop3],
+            out_specs=rspec(15),
+            out_shape=jax.ShapeDtypeStruct((B, 15, NC * P), f32),
+            interpret=interpret,
+        )(offs, off, rows4, g_crop)
+
+    def g2p_bwd_call(rows4, g_crop, ct_rows, offs, off):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_g2p_bwd_kernel, dt=geom.dt, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(4), crop3, rspec(15)],
+            out_specs=(crop3, rspec(3)),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 3, D, Ly, D), f32),
+                jax.ShapeDtypeStruct((B, 3, NC * P), f32),
+            ),
+            interpret=interpret,
+        )(offs, off, rows4, g_crop, ct_rows)
+
+    def _zero_int(a):
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def p2g_rows_b(rows16, offs, off):
+        B = rows16.shape[0]
+        return p2g_call(rows16, offs, off).reshape(B, 4, D ** 3)
+
+    def p2g_rows_b_fwd(rows16, offs, off):
+        return p2g_rows_b(rows16, offs, off), (rows16, offs, off)
+
+    def p2g_rows_b_bwd(res, ct):
+        rows16, offs, off = res
+        B = rows16.shape[0]
+        ct_crop = ct.astype(f32).reshape(B, 4, D, Ly, D)
+        drows = p2g_bwd_call(rows16, offs, off, ct_crop)  # (B, 15, N)
+        d16 = jnp.concatenate([drows, jnp.zeros_like(drows[:, :1])], axis=1)
+        return d16, _zero_int(offs), _zero_int(off)
+
+    p2g_rows_b.defvjp(p2g_rows_b_fwd, p2g_rows_b_bwd)
+
+    @jax.custom_vjp
+    def g2p_rows_b(rows4, grid3, offs, off):
+        B = rows4.shape[0]
+        g_crop = grid3.astype(f32).reshape(B, 3, D, Ly, D)
+        return g2p_call(rows4, g_crop, offs, off)
+
+    def g2p_rows_b_fwd(rows4, grid3, offs, off):
+        return g2p_rows_b(rows4, grid3, offs, off), (rows4, grid3, offs, off)
+
+    def g2p_rows_b_bwd(res, ct15):
+        rows4, grid3, offs, off = res
+        B = rows4.shape[0]
+        g_crop = grid3.astype(f32).reshape(B, 3, D, Ly, D)
+        dg_crop, dxr = g2p_bwd_call(rows4, g_crop, ct15.astype(f32), offs,
+                                    off)
+        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:, :1])], axis=1)
+        return (d4, dg_crop.reshape(B, 3, D ** 3).astype(grid3.dtype),
+                _zero_int(offs), _zero_int(off))
+
+    g2p_rows_b.defvjp(g2p_rows_b_fwd, g2p_rows_b_bwd)
+
+    fns = (p2g_rows_b, g2p_rows_b)
+    _CACHE[key] = fns
+    return fns
+
+
+def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
+    """mass_rows_b(rows4 (B, 4, N), offs (B, NC, 3), off (B, 3)) -> (B, D^3)
+    — batched variant of mass_fns (same kernels, grid (B, NC))."""
+    sim = scene.simulator
+    geom = _Geom(P=plan.P, Lx=plan.Lx, Ly=plan.Ly, D=D, G=sim.n_grid,
+                 dx=float(sim.dx), inv_dx=float(sim.inv_dx),
+                 p_mass=float(sim.p_mass), dt=float(sim.dt))
+    key = ("mass_batched", geom, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    P, Lx, Ly = geom.P, geom.Lx, geom.Ly
+    assert Ly == D
+    kw = dict(Lx=Lx, Ly=Ly, D=D, G=geom.G, dx=geom.dx, inv_dx=geom.inv_dx,
+              p_mass=geom.p_mass, nb=1)
+    f32 = jnp.float32
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    crop1 = pl.BlockSpec((None, D, Ly, D), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def rspec(rows):
+        return pl.BlockSpec((None, rows, P), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(rows4, offs, off):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_mass_fwd_kernel, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(4)],
+            out_specs=crop1,
+            out_shape=jax.ShapeDtypeStruct((B, D, Ly, D), f32),
+            interpret=interpret,
+        )(offs, off, rows4)
+
+    def bwd_call(rows4, offs, off, ct_crop):
+        B, NC = offs.shape[0], offs.shape[1]
+        return pl.pallas_call(
+            functools.partial(_mass_bwd_kernel, **kw),
+            grid=(B, NC),
+            in_specs=[smem, smem, rspec(4), crop1],
+            out_specs=rspec(3),
+            out_shape=jax.ShapeDtypeStruct((B, 3, NC * P), f32),
+            interpret=interpret,
+        )(offs, off, rows4, ct_crop)
+
+    def _zero_int(a):
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def mass_rows_b(rows4, offs, off):
+        B = rows4.shape[0]
+        return fwd_call(rows4, offs, off).reshape(B, D ** 3)
+
+    def mass_rows_b_fwd(rows4, offs, off):
+        return mass_rows_b(rows4, offs, off), (rows4, offs, off)
+
+    def mass_rows_b_bwd(res, ct):
+        rows4, offs, off = res
+        B = rows4.shape[0]
+        dxr = bwd_call(rows4, offs, off, ct.astype(f32).reshape(B, D, Ly, D))
+        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:, :1])], axis=1)
+        return d4, _zero_int(offs), _zero_int(off)
+
+    mass_rows_b.defvjp(mass_rows_b_fwd, mass_rows_b_bwd)
+    _CACHE[key] = mass_rows_b
+    return mass_rows_b
+
+
+# ---------------------------------------------------------------------------
 # mass-only transfer (the per-env-step loss grid: reference
 # compute_grid_m_kernel, mpm_simulator.py:382-392) — same window machinery,
 # ~1/7 of the full p2g's work
 # ---------------------------------------------------------------------------
 
 def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
-                     dx, inv_dx, p_mass):
+                     dx, inv_dx, p_mass, nb=0):
     """rows (4, P): x0..2, mask. out (D, Ly, D): mass crop, accumulated."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -711,7 +928,6 @@ def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
     x = [rows_ref[k : k + 1, :] for k in range(3)]
     mask = rows_ref[3:4, :]
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, _, _, _ = _weights(px[0], offs[0], Lx, dtype, False)
     Wy, _, _, _ = _weights(px[1], offs[1], Ly, dtype, False)
     Wz, _, _, _ = _weights(px[2], offs[2], D, dtype, False)
@@ -721,26 +937,25 @@ def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
     E = (u.reshape(Lx, 1, P) * Wy.reshape(1, Ly, P)).reshape(Lx * Ly, P)
     tile = _dot(E, Wz, _DN_PP).reshape(Lx, Ly, D)
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     out_ref[pl.ds(ox, Lx)] = out_ref[pl.ds(ox, Lx)] + tile
 
 
 def _mass_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, dx_ref, *, Lx, Ly,
-                     D, G, dx, inv_dx, p_mass):
+                     D, G, dx, inv_dx, p_mass, nb=0):
     """ct (D, Ly, D): mass-crop cotangent, resident. dx_ref (3, P)."""
-    i = pl.program_id(0)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
     dtype = dx_ref.dtype
     P = rows_ref.shape[1]
 
     x = [rows_ref[k : k + 1, :] for k in range(3)]
     mask = rows_ref[3:4, :]
     px = [xi * inv_dx for xi in x]
-    offs = [offs_ref[i, k] for k in range(3)]
     Wx, _, dWx, _ = _weights(px[0], offs[0], Lx, dtype, True)
     Wy, _, dWy, _ = _weights(px[1], offs[1], Ly, dtype, True)
     Wz, _, dWz, _ = _weights(px[2], offs[2], D, dtype, True)
 
-    ox = offs[0] - off_ref[0]
+    ox = offs[0] - off0
     ct = ct_ref[pl.ds(ox, Lx)].reshape(Lx * Ly, D)  # rows (a, b)
 
     if 2 * P <= 2048:

@@ -424,11 +424,13 @@ _ROWS_CACHE = {}
 
 
 def stress_affine_rows(scene, mats, interpret: bool = False):
-    """Returns fn(rowsCF (18, N) f32) -> (18, N): rows 0-8 new_F, 9-17
-    affine. N must be a multiple of 2048 (= the kernel's 16x128 block).
-    Channel rows ARE the kernel's component tiles (reshape only — no
-    (n, 3, 3) transposes), so this wrapper adds no layout traffic.
-    Same forward/backward kernels as stress_affine_pallas."""
+    """Returns fn(rowsCF (18, N) or (B, 18, N) f32) -> same shape: channel
+    rows 0-8 new_F, 9-17 affine. N must be a multiple of 2048 (= the
+    kernel's 16x128 block). Channel rows ARE the kernel's component tiles
+    (reshape only — no (n, 3, 3) transposes), so this wrapper adds no
+    layout traffic; a leading batch dim just folds into the grid (the
+    kernels are block-local elementwise). Same forward/backward kernels as
+    stress_affine_pallas."""
     key = (scene.simulator, float(mats.mu), float(mats.lam),
            float(mats.yield_stress), interpret)
     if key in _ROWS_CACHE:
@@ -437,35 +439,43 @@ def stress_affine_rows(scene, mats, interpret: bool = False):
     consts = _consts(scene, mats)
     spec = pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def _comp(rowsCF, i):
+        # (..., 18, N) channel i -> (total/128, 128); a leading batch dim
+        # flattens contiguously
+        c = rowsCF[..., i, :] if rowsCF.ndim == 3 else rowsCF[i]
+        return c.reshape(-1, 128)
+
     def _run_fwd(rowsCF):
-        N = rowsCF.shape[1]
+        N = rowsCF.shape[-1]
         assert N % _BLOCK == 0, N
-        comps = [rowsCF[i].reshape(N // 128, 128) for i in range(18)]
+        comps = [_comp(rowsCF, i) for i in range(18)]
+        total = comps[0].shape[0] * 128
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, **consts),
-            grid=(N // _BLOCK,),
+            grid=(total // _BLOCK,),
             in_specs=[spec] * 18,
             out_specs=[spec] * 18,
-            out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+            out_shape=[jax.ShapeDtypeStruct(comps[0].shape, rowsCF.dtype)] * 18,
             interpret=interpret,
         )(*comps)
-        return jnp.stack([o.reshape(N) for o in out], axis=0)
+        lead = rowsCF.shape[:-2]
+        return jnp.stack([o.reshape(lead + (N,)) for o in out], axis=-2)
 
     def _run_bwd(rowsCF, ct18):
-        N = rowsCF.shape[1]
-        comps = (
-            [rowsCF[i].reshape(N // 128, 128) for i in range(18)]
-            + [ct18[i].reshape(N // 128, 128) for i in range(18)]
-        )
+        N = rowsCF.shape[-1]
+        comps = ([_comp(rowsCF, i) for i in range(18)]
+                 + [_comp(ct18, i) for i in range(18)])
+        total = comps[0].shape[0] * 128
         out = pl.pallas_call(
             functools.partial(_bwd_kernel, **consts, gap_eps=float(_GAP_EPS)),
-            grid=(N // _BLOCK,),
+            grid=(total // _BLOCK,),
             in_specs=[spec] * 36,
             out_specs=[spec] * 18,
-            out_shape=[jax.ShapeDtypeStruct((N // 128, 128), rowsCF.dtype)] * 18,
+            out_shape=[jax.ShapeDtypeStruct(comps[0].shape, rowsCF.dtype)] * 18,
             interpret=interpret,
         )(*comps)
-        return jnp.stack([o.reshape(N) for o in out], axis=0)
+        lead = rowsCF.shape[:-2]
+        return jnp.stack([o.reshape(lead + (N,)) for o in out], axis=-2)
 
     @jax.custom_vjp
     def fn(rowsCF):

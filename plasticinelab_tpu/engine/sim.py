@@ -55,6 +55,8 @@ class PhysicsEnv:
             self._load_target()
 
         self._renderer = None
+        self._obs_renderer = None
+        self._obs_renderer_key = None
         self.nn = None  # attached by callers that need an in-graph policy
 
         # ---- compiled functions (cached per scene by jit) ----
@@ -263,6 +265,34 @@ class PhysicsEnv:
             plt.imshow(img)
             plt.show()
         return img
+
+    def render_obs(self, res: int = 64, spp: int = 2, **kwargs):
+        """Low-resolution observation render for visual RL (BASELINE
+        configs[3]: SAC/TD3/PPO on rendered 64x64 observations). Same ray
+        marcher as render(), dedicated small-res renderer instance; returns
+        (res, res, 3) uint8. Cost at 64^2 x 2 spp is ~1/3000 of a full
+        512^2 x 50 spp frame."""
+        import dataclasses
+
+        from .renderer import Renderer
+
+        if getattr(self, "_obs_renderer", None) is None \
+                or self._obs_renderer_key != (res, spp):
+            rscene = dataclasses.replace(
+                self.scene,
+                renderer=dataclasses.replace(
+                    self.scene.renderer, image_res=(res, res), spp=spp))
+            self._obs_renderer = Renderer(rscene)
+            self._obs_renderer_key = (res, spp)
+            if self.loss_state is not None:
+                self._obs_renderer.set_target_density(
+                    self.target_density / self.scene.simulator.p_mass)
+        img = self._obs_renderer.render_frame(
+            np.asarray(self.state.x), self.particle_colors,
+            np.asarray(self.state.prim_pos), np.asarray(self.state.prim_rot),
+            np.asarray(self.state.prim_gap), **kwargs,
+        )
+        return np.uint8(np.clip(img, 0, 1) * 255)
 
 
 # Alias for users porting from the reference

@@ -30,7 +30,9 @@ def _parse(env_name: str):
 
 def make(env_name: str, nn: bool = False, sdf_loss: float = 10,
          density_loss: float = 10, contact_loss: float = 1,
-         soft_contact_loss: bool = False, max_episode_steps: int = 50):
+         soft_contact_loss: bool = False, max_episode_steps: int = 50,
+         obs_mode: str = "state", image_obs_res: int = 64,
+         image_obs_spp: int = 2):
     try:
         from gymnasium.wrappers import TimeLimit as _TimeLimit
     except ImportError:  # pragma: no cover
@@ -55,7 +57,9 @@ def make(env_name: str, nn: bool = False, sdf_loss: float = 10,
         weight_contact=contact_loss, soft_contact=soft_contact_loss,
     )
     scene = scene.replace(env=dataclasses.replace(scene.env, loss=loss))
-    env = PlasticineEnv(f"{task}.yml", version, nn=nn, scene=scene)
+    env = PlasticineEnv(f"{task}.yml", version, nn=nn, scene=scene,
+                        obs_mode=obs_mode, image_obs_res=image_obs_res,
+                        image_obs_spp=image_obs_spp)
     wrapped = TimeLimit(env, max_episode_steps=max_episode_steps)
     wrapped._max_episode_steps = max_episode_steps
     return wrapped

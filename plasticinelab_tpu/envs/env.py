@@ -30,8 +30,16 @@ class PlasticineEnv(gym.Env):
     metadata = {"render_modes": ["rgb_array", "human", "plt"]}
 
     def __init__(self, cfg_path: str, version: int = 1, nn: bool = False,
-                 scene: Optional[SceneSpec] = None):
+                 scene: Optional[SceneSpec] = None, obs_mode: str = "state",
+                 image_obs_res: int = 64, image_obs_spp: int = 2):
+        """obs_mode: "state" (reference layout, env.py:33-41) or "rgb"
+        (rendered image_obs_res^2 uint8 frames — BASELINE configs[3]'s
+        visual-observation benchmark; no reference counterpart)."""
+        assert obs_mode in ("state", "rgb"), obs_mode
         self.cfg_path = cfg_path
+        self.obs_mode = obs_mode
+        self._image_obs_res = image_obs_res
+        self._image_obs_spp = image_obs_spp
         if scene is None:
             scene = self._load_scene(cfg_path, version)
         self.taichi_env = PhysicsEnv(scene, nn=nn)
@@ -43,7 +51,10 @@ class PlasticineEnv(gym.Env):
         self._max_episode_steps = 50
 
         obs, _ = self.reset()
-        self.observation_space = Box(-np.inf, np.inf, obs.shape)
+        if obs_mode == "rgb":
+            self.observation_space = Box(0, 255, obs.shape, dtype=np.uint8)
+        else:
+            self.observation_space = Box(-np.inf, np.inf, obs.shape)
         self.action_space = Box(-1.0, 1.0, (self.taichi_env.scene.action_dim,))
 
     @staticmethod
@@ -64,6 +75,9 @@ class PlasticineEnv(gym.Env):
         return self._get_obs(), {}
 
     def _get_obs(self):
+        if self.obs_mode == "rgb":
+            return self.taichi_env.render_obs(
+                res=self._image_obs_res, spp=self._image_obs_spp)
         return self.taichi_env.get_obs()
 
     def step(self, action):
@@ -73,7 +87,8 @@ class PlasticineEnv(gym.Env):
         self._recorded_actions.append(action)
         obs = self._get_obs()
         r = loss_info["reward"]
-        if np.isnan(obs).any() or np.isnan(r):
+        obs_nan = (False if obs.dtype == np.uint8 else np.isnan(obs).any())
+        if obs_nan or np.isnan(r):
             if np.isnan(r):
                 print("nan in r")
             with open(

@@ -69,6 +69,8 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
             scene, simulator=dataclasses.replace(scene.simulator,
                                                  transfer="dense"))
 
+    use_rows = mpm.use_rows_path(scene, jnp.float32)
+
     def rollout_loss(state0, actions, softness):
         @jax.checkpoint
         def step_fn(carry, action):
@@ -80,11 +82,54 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
         final, per_step = jax.lax.scan(step_fn, state0, actions)
         return jnp.sum(per_step)
 
+    def rollout_losses_rows(states, actions_tb, softness):
+        """All envs step together through the explicit batched kernels;
+        actions_tb is time-major (T, B, A). Returns per-env loss sums."""
+        @jax.checkpoint
+        def step_fn(carry, acts_t):
+            st, gm, off = mpm.env_step_batched(
+                scene, mats, carry, acts_t, softness, want_grid_m=True)
+            losses_t = jax.vmap(
+                lambda g, o, s: losses_mod.loss_from_crop(
+                    scene, loss_state, g, o, s)["loss"])(gm, off, st)
+            return st, losses_t
+
+        _, per_step = jax.lax.scan(step_fn, states, actions_tb)
+        return jnp.sum(per_step, axis=0)
+
     def batched_loss(states, actions, softness):
-        losses_b = jax.vmap(lambda s, a: rollout_loss(s, a, softness))(states, actions)
+        if use_rows:
+            losses_b = rollout_losses_rows(
+                states, actions.transpose(1, 0, 2), softness)
+        else:
+            losses_b = jax.vmap(
+                lambda s, a: rollout_loss(s, a, softness))(states, actions)
         return jnp.mean(losses_b)
 
     vg = jax.value_and_grad(batched_loss, argnums=1)
+
+    if use_rows and len(mesh.devices.flat) > 1:
+        # GSPMD cannot partition a pallas_call along the batch grid —
+        # shard_map splits the batch explicitly so each device runs its own
+        # kernels; the mean's psum is inserted by the grad of shard_map.
+        from jax.experimental.shard_map import shard_map
+
+        def sharded_loss(states, actions, softness):
+            def per_shard(s, a):
+                local = rollout_losses_rows(s, a.transpose(1, 0, 2),
+                                            softness)
+                return jax.lax.psum(jnp.sum(local), axis_name) / actions.shape[0]
+
+            f = shard_map(per_shard, mesh=mesh,
+                          in_specs=(P(axis_name), P(axis_name)),
+                          out_specs=P(), check_rep=False)
+            return f(states, actions)
+
+        vg = jax.value_and_grad(sharded_loss, argnums=1)
+        shard_b = NamedSharding(mesh, P(axis_name))
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(vg, in_shardings=(shard_b, shard_b, replicated),
+                       out_shardings=(replicated, shard_b))
 
     shard_b = NamedSharding(mesh, P(axis_name))      # shard leading batch axis
     replicated = NamedSharding(mesh, P())

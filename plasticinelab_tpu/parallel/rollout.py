@@ -129,7 +129,20 @@ class VecPlasticineEnv:
             info = losses_mod.loss_and_components(scene, loss_state, state)
             return info["loss"], _obs_in_graph(scene, state)
 
-        step_b = jax.vmap(one_step, in_axes=(0, 0, None))
+        if mpm.use_rows_path(scene, jnp.float32):
+            # explicit batched Pallas kernels — vmap cannot batch the SMEM
+            # operands (see mpm.env_step_batched)
+            def step_b(states, actions, softness):
+                st, gm, off = mpm.env_step_batched(
+                    scene, mats, states, actions, softness,
+                    want_grid_m=True)
+                obs = jax.vmap(lambda s: _obs_in_graph(scene, s))(st)
+                info = jax.vmap(
+                    lambda g, o, s: losses_mod.loss_from_crop(
+                        scene, loss_state, g, o, s))(gm, off, st)
+                return st, obs, info["loss"], info["iou"]
+        else:
+            step_b = jax.vmap(one_step, in_axes=(0, 0, None))
         loss_b = jax.vmap(one_loss)
         if self._shard is not None:
             rep = NamedSharding(mesh, P())

@@ -102,6 +102,56 @@ def test_vmapped_env_step_matches_per_env(rows_interpret):
     assert not np.allclose(np.asarray(bst.x[0]), np.asarray(bst.x[1]))
 
 
+def test_env_step_batched_matches_per_env(rows_interpret):
+    """The explicit batched kernels (grid (B, NC)) — the path that lowers
+    on real TPUs, where vmap's blocked-SMEM specs do not — must match
+    per-env execution too, forward and gradient."""
+    scene, particles = _scene()
+    mats = default_materials(scene)
+    B = 2
+    states = _batch_states(scene, particles, B, seed=5)
+    actions = jnp.asarray(
+        np.random.default_rng(4).uniform(-0.5, 0.5, (B, scene.action_dim)),
+        jnp.float32)
+    softness = jnp.asarray(666.0, jnp.float32)
+
+    bst, bgm, boff = mpm.env_step_batched(
+        scene, mats, states, actions, softness, want_grid_m=True)
+    # Tolerances: the batched step is a DIFFERENT XLA program than the
+    # per-env one (same math, different fusions), so f32 fma/fusion noise
+    # (~1 ulp) amplified by the APIC 4*inv_dx^2 feedback over the substep
+    # scan shows up at ~1e-5 absolute on zero-mean noise components.
+    for b in range(B):
+        st, gm, off = mpm.env_step_with_grid_m(
+            scene, mats, jax.tree.map(lambda x: x[b], states), actions[b],
+            softness, fallback=False)
+        np.testing.assert_allclose(np.asarray(bst.x[b]), np.asarray(st.x),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(bst.v[b]), np.asarray(st.v),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(bst.F[b]), np.asarray(st.F),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(bgm[b]), np.asarray(gm),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(boff[b]), np.asarray(off))
+
+    # gradient through the batched step
+    def loss_b(acts):
+        st = mpm.env_step_batched(scene, mats, states, acts, softness)
+        return jnp.sum(st.x ** 2)
+
+    def loss_one(b, a):
+        st = mpm.env_step(scene, mats, jax.tree.map(lambda x: x[b], states),
+                          a, softness, fallback=False)
+        return jnp.sum(st.x ** 2)
+
+    g = jax.grad(loss_b)(actions)
+    for b in range(B):
+        g1 = jax.grad(lambda a: loss_one(b, a))(actions[b])
+        np.testing.assert_allclose(np.asarray(g[b]), np.asarray(g1),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_vmapped_rollout_grad_matches_per_env(rows_interpret):
     scene, particles = _scene()
     mats = default_materials(scene)

@@ -1,0 +1,75 @@
+"""Visual-observation RL path (BASELINE configs[3]): rgb obs mode on the
+env, ConvEncoder SAC consuming image batches. Tiny scene + tiny renderer
+(CPU-friendly)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from plasticinelab_tpu.config.spec import (
+    EnvSpec, LossSpec, PrimitiveSpec, RendererSpec, SceneSpec, ShapeSpec,
+    SimulatorSpec,
+)
+from plasticinelab_tpu.envs.env import PlasticineEnv
+
+RES = 16
+
+
+def _tiny_scene():
+    sim = SimulatorSpec(quality=0.25, n_particles=200, dtype="float32",
+                        yield_stress=200.0)
+    prim = PrimitiveSpec(
+        shape="Sphere", radius=0.05, init_pos=(0.38, 0.5, 0.5), friction=0.9,
+        action_dim=3, action_scale=(0.01, 0.01, 0.01),
+    )
+    shape = ShapeSpec(shape="sphere", init_pos=(0.5, 0.5, 0.5), radius=0.06,
+                      n_particles=200)
+    ren = RendererSpec(spp=1, image_res=(48, 48), voxel_res=(32, 32, 32),
+                       target_res=(16, 16, 16), use_directional_light=False)
+    return SceneSpec(
+        simulator=sim, primitives=(prim,), shapes=(shape,), renderer=ren,
+        env=EnvSpec(loss=LossSpec(target_path=""), n_observed_particles=50),
+    )
+
+
+@pytest.fixture(scope="module")
+def rgb_env():
+    return PlasticineEnv("tiny.yml", 1, scene=_tiny_scene(), obs_mode="rgb",
+                         image_obs_res=RES, image_obs_spp=1)
+
+
+def test_rgb_obs_shape_and_space(rgb_env):
+    obs, _ = rgb_env.reset()
+    assert obs.shape == (RES, RES, 3)
+    assert obs.dtype == np.uint8
+    assert rgb_env.observation_space.shape == (RES, RES, 3)
+    assert obs.max() > 0  # not all black
+
+
+def test_rgb_step(rgb_env):
+    rgb_env.reset()
+    obs, r, term, trunc, info = rgb_env.step(
+        np.zeros(rgb_env.action_space.shape, np.float32))
+    assert obs.shape == (RES, RES, 3) and obs.dtype == np.uint8
+    assert np.isfinite(r)
+
+
+def test_visual_sac_update(rgb_env):
+    from plasticinelab_tpu.algorithms.common import ImageReplayBuffer
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+
+    act_dim = rgb_env.action_space.shape[0]
+    algo = SAC(state_dim=(RES, RES, 3), action_dim=act_dim, seed=0)
+    rng = np.random.default_rng(0)
+    buf = ImageReplayBuffer((RES, RES, 3), act_dim, max_size=64)
+    obs, _ = rgb_env.reset()
+    for _ in range(4):
+        a = rng.uniform(-1, 1, act_dim).astype(np.float32)
+        nobs, r, *_ = rgb_env.step(a)
+        buf.add(obs, a, nobs, r, 0.0)
+        obs = nobs
+
+    a = algo.explore(obs)
+    assert a.shape == (act_dim,) and np.all(np.abs(a) <= 1.0)
+    loss = algo.update(buf, batch_size=4, rng=rng)
+    assert np.isfinite(loss)
