@@ -39,6 +39,13 @@ def main(batch=int(os.environ.get("BENCH_BATCH", "32")),
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scene = load_scene(os.path.join(
         here, "plasticinelab_tpu", "envs", "specs", "move-v1.json"))
+    remat = os.environ.get("BENCH_REMAT")
+    if remat:
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene, simulator=dataclasses.replace(scene.simulator,
+                                                 remat=remat))
     particles, _ = build_particles(scene.shapes)
     scene = scene.with_n_particles(len(particles))
     mats = default_materials(scene)

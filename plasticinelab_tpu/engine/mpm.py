@@ -566,40 +566,42 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
     return new_state
 
 
-def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_b, poses_b,
-                         ctrl_b, softness_b, n: int):
-    """One substep on batched rows-layout state via the explicit batched
-    Pallas kernels (grid (B, NC)); jnp glue vmapped. rows_b (B, 24, N);
-    poses_b / ctrl_b with leading B. Crop and chunk-window origins are
-    recomputed per substep from the current positions (mirroring
-    substep_rows), so windows track drift within the env step."""
+def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_f, poses_b,
+                         ctrl_b, softness_b, n: int, B: int):
+    """One substep on FLAT batched rows state: rows_f (24, B*N), env b
+    owning columns [b*N, (b+1)*N) (sorted, padded). poses_b / ctrl_b have a
+    leading B. Crop and chunk-window origins are recomputed per substep
+    from the current positions (mirroring substep_rows), so windows track
+    drift within the env step. Everything is either the single-env
+    channel-major code on wider arrays or an explicit (B, NC)-grid Pallas
+    kernel — no vmap anywhere (a vmapped multi-operand lax.sort, and
+    vmapped pallas SMEM operands, both fail to compile on XLA:TPU)."""
     from . import pallas_local
     from .pallas_stress import stress_affine_rows
 
     D = crop_size(scene)
     plan = local_transfer.plan_for(scene, D)
-    B, _, N = rows_b.shape
+    BN = rows_f.shape[1]
     itp = ROWS_INTERPRET
 
-    x3 = rows_b[:, 0:3]
-    off_b = jax.vmap(
-        lambda x: local_transfer.crop_offset_cols(scene, x, D))(x3)
-    offs_b = jax.vmap(
-        lambda x, o: local_transfer.chunk_offsets_cols(
-            scene, plan, x, o, D, n).offs)(x3, off_b)
-    outCF = stress_affine_rows(scene, mats, interpret=itp)(rows_b[:, 6:24])
-    newF9, aff9 = outCF[:, 0:9], outCF[:, 9:18]
+    x3 = rows_f[0:3]
+    off_b = local_transfer.crop_offset_cols_flat(scene, x3, D, B)
+    offs_b = local_transfer.chunk_offsets_cols_flat(
+        scene, plan, x3, off_b, D, B).offs
 
-    maskr = jnp.broadcast_to(
-        (jnp.arange(N, dtype=jnp.int32) < n).astype(rows_b.dtype)[None, None],
-        (B, 1, N))
-    rows16 = jnp.concatenate([x3, rows_b[:, 3:6], aff9, maskr], axis=1)
+    outCF = stress_affine_rows(scene, mats, interpret=itp)(rows_f[6:24])
+    newF9, aff9 = outCF[0:9], outCF[9:18]
+
+    N = BN // B
+    maskr = ((jax.lax.iota(jnp.int32, BN) % N) < n).astype(
+        rows_f.dtype)[None, :]
+    rows16 = jnp.concatenate([x3, rows_f[3:6], aff9, maskr], axis=0)
 
     p2g_b, g2p_b = pallas_local.transfer_fns_batched(scene, plan, D,
                                                      interpret=itp)
     grid4 = p2g_b(rows16, offs_b, off_b)  # (B, 4, D^3)
 
-    poses1 = jax.vmap(lambda p, c: _fk_step(scene, p, c))(poses_b, ctrl_b)
+    poses1 = _fk_step_batched(scene, poses_b, ctrl_b)
     if scene.primitives:
         from . import pallas_gridop
 
@@ -615,23 +617,51 @@ def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_b, poses_b,
                 scene, g4, pf_, pf1, softness_b[0], D, o)
         )(grid4, poses_b, poses1, off_b)
 
-    rows4 = jnp.concatenate([x3, maskr], axis=1)
-    out15 = g2p_b(rows4, gv3, offs_b, off_b)
+    rows4 = jnp.concatenate([x3, maskr], axis=0)
+    out15 = g2p_b(rows4, gv3, offs_b, off_b)  # (15, B*N)
 
     new_rows = jnp.concatenate(
-        [out15[:, 12:15], out15[:, 0:3], out15[:, 3:12], newF9], axis=1)
+        [out15[12:15], out15[0:3], out15[3:12], newF9], axis=0)
     return new_rows, poses1
+
+
+def _fk_step_batched(scene: SceneSpec, poses_b, ctrl_b):
+    """Forward kinematics for all primitives over the env batch. The pose
+    arrays are tiny ((B, k, 3/4)); plain batched jnp (prim.forward_kinematics
+    is elementwise over leading dims except quaternion products, handled by
+    vmap of the per-env step — safe to vmap: no sort/pallas inside)."""
+    return jax.vmap(lambda p, c: _fk_step(scene, p, c))(poses_b, ctrl_b)
+
+
+def _pack_flat(states: SimState, B: int, n: int, N: int):
+    """SimState (leading B) -> flat rows (24, B*N), pads replicating each
+    env's last column."""
+    f32 = jnp.float32
+    rows = jnp.concatenate(
+        [states.x.transpose(2, 0, 1), states.v.transpose(2, 0, 1),
+         states.C.reshape(B, n, 9).transpose(2, 0, 1),
+         states.F.reshape(B, n, 9).transpose(2, 0, 1)], axis=0,
+    ).astype(f32)  # (24, B, n)
+    if N > n:
+        pad = jnp.broadcast_to(rows[:, :, n - 1 : n], (24, B, N - n))
+        rows = jnp.concatenate([rows, pad], axis=2)
+    return rows.reshape(24, B * N)
 
 
 def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
                      actions, softness, want_grid_m: bool = False):
-    """Batched env step on the rows layout WITHOUT jax.vmap over the
-    kernels: vmap's pallas batching rule blocks the SMEM operands along
-    batch, which Mosaic rejects — instead the kernels take an explicit
-    (B, NC) grid (pallas_local.transfer_fns_batched,
-    pallas_gridop.grid_op_fns_batched) and the jnp glue (sort, windows,
-    FK) is vmapped. No dense fallback (the batched contract is the same as
-    env_step(fallback=False)).
+    """Batched env step on the FLAT rows layout: all B envs' particles
+    concatenated on the column axis and sorted by ONE wide multi-operand
+    lax.sort with env-major keys (env * (G^3+1) + cellkey) — stability
+    keeps env blocks contiguous and each env's pads at its block end. The
+    transfers run the explicit (B, NC)-grid Pallas kernels
+    (pallas_local.transfer_fns_batched, pallas_gridop.grid_op_fns_batched).
+
+    Why not jax.vmap over env_step: (a) vmap's pallas batching rule blocks
+    the SMEM scalar operands, which Mosaic rejects; (b) a vmapped
+    multi-operand lax.sort never finishes XLA:TPU compilation (measured
+    >14 min at B=4 vs ~1 min unbatched). No dense fallback (same contract
+    as env_step(fallback=False)).
 
     states: SimState with leading batch B; actions (B, action_dim);
     softness scalar or (B,). Returns new states, plus per-env
@@ -650,28 +680,19 @@ def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
         jnp.asarray(actions, f32))
     softness_b = jnp.broadcast_to(jnp.asarray(softness, f32), (B,))
 
-    rows = jnp.concatenate(
-        [states.x.transpose(0, 2, 1), states.v.transpose(0, 2, 1),
-         states.C.reshape(B, n, 9).transpose(0, 2, 1),
-         states.F.reshape(B, n, 9).transpose(0, 2, 1)], axis=1,
-    ).astype(f32)
-
-    def _sort_one(r):
-        key = local_transfer.sort_keys_cols(scene, r[0:3], n)
-        return local_transfer.sort_cols(key, r)
-
-    rows, order, rank = jax.vmap(_sort_one)(rows)
-    rows = jax.vmap(lambda r: _pad_rows_cols(r, n, N))(rows)
+    rows = _pack_flat(states, B, n, N)  # (24, B*N)
+    key = local_transfer.sort_keys_cols_flat(scene, rows[0:3], B, N, n)
+    # argsort + gather, NOT the multi-operand sort: row slices feeding a
+    # wide variadic lax.sort have pathological XLA:TPU compile time (see
+    # local_transfer.sort_cols_gather)
+    rows, order, rank = local_transfer.sort_cols_gather(key, rows)
 
     # env-step-entry windows (2-cell drift margin): used only by the final
     # mass kernel, which shares the env step's sort like _env_step_rows
     if want_grid_m:
-        off0_b = jax.vmap(
-            lambda r: local_transfer.crop_offset_cols(scene, r[0:3], D))(rows)
-        offs0_b = jax.vmap(
-            lambda r, o: local_transfer.chunk_offsets_cols(
-                scene, plan, r[0:3], o, D, n, margin=2).offs
-        )(rows, off0_b)
+        off0_b = local_transfer.crop_offset_cols_flat(scene, rows[0:3], D, B)
+        offs0_b = local_transfer.chunk_offsets_cols_flat(
+            scene, plan, rows[0:3], off0_b, D, B, margin=2).offs
 
     poses_b = (states.prim_pos.astype(f32), states.prim_rot.astype(f32),
                states.prim_gap.astype(f32))
@@ -679,7 +700,7 @@ def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
     def body(carry, _):
         r, p = carry
         return substep_rows_batched(
-            scene, mats, r, p, ctrl_b, softness_b, n), None
+            scene, mats, r, p, ctrl_b, softness_b, n, B), None
 
     if sim.remat in ("substep", "both"):
         body = jax.checkpoint(body)
@@ -691,18 +712,17 @@ def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
 
         mass_b = pallas_local.mass_fns_batched(scene, plan, D,
                                                interpret=ROWS_INTERPRET)
-        maskr = jnp.broadcast_to(
-            (jnp.arange(N, dtype=jnp.int32) < n).astype(f32)[None, None],
-            (B, 1, N))
-        rows4m = jnp.concatenate([rows[:, 0:3], maskr], axis=1)
+        maskr = ((jax.lax.iota(jnp.int32, B * N) % N) < n).astype(
+            f32)[None, :]
+        rows4m = jnp.concatenate([rows[0:3], maskr], axis=0)
         gm = mass_b(rows4m, offs0_b, off0_b)  # (B, D^3)
 
-    rows = rows[:, :, :n]
-    rows = jax.vmap(local_transfer.unsort_cols)(order, rank, rows)
+    rows = local_transfer.unsort_cols_gather(order, rank, rows)
+    rows = rows.reshape(24, B, N)[:, :, :n]
     new_states = SimState(
-        x=rows[:, 0:3].transpose(0, 2, 1), v=rows[:, 3:6].transpose(0, 2, 1),
-        C=rows[:, 6:15].transpose(0, 2, 1).reshape(B, n, 3, 3),
-        F=rows[:, 15:24].transpose(0, 2, 1).reshape(B, n, 3, 3),
+        x=rows[0:3].transpose(1, 2, 0), v=rows[3:6].transpose(1, 2, 0),
+        C=rows[6:15].transpose(1, 2, 0).reshape(B, n, 3, 3),
+        F=rows[15:24].transpose(1, 2, 0).reshape(B, n, 3, 3),
         prim_pos=poses_b[0], prim_rot=poses_b[1], prim_gap=poses_b[2],
     )
     if want_grid_m:

@@ -713,12 +713,18 @@ def transfer_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
 
 def transfer_fns_batched(scene, plan: LocalPlan, D: int,
                          interpret: bool = False):
-    """Returns (p2g_rows_b, g2p_rows_b):
+    """Returns (p2g_rows_b, g2p_rows_b) on the FLAT batched rows layout:
+    particle state for all B envs concatenated on the column axis, env b
+    owning columns [b*N, (b+1)*N). Rows blocks use index map
+    (b, i) -> column block b*NC + i, so the arrays are the same 2-D
+    channel-major layout the single-env path uses (one wide sort upstream —
+    a vmapped multi-operand lax.sort never finishes compiling in XLA:TPU,
+    measured >14 min for B=4 before this design).
 
-      p2g_rows_b(rows16 (B, 16, N), offs (B, NC, 3), off (B, 3))
+      p2g_rows_b(rows16 (16, B*N), offs (B, NC, 3), off (B, 3))
           -> grid4 (B, 4, D^3)
-      g2p_rows_b(rows4 (B, 4, N), grid3 (B, 3, D^3), offs, off)
-          -> out15 (B, 15, N)
+      g2p_rows_b(rows4 (4, B*N), grid3 (B, 3, D^3), offs, off)
+          -> out15 (15, B*N)
 
     custom-VJP'd like the single-env fns (same hand-derived backward
     kernels, batched grids)."""
@@ -741,8 +747,8 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
     crop3 = pl.BlockSpec((None, 3, D, Ly, D), lambda b, i: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def rspec(rows):
-        return pl.BlockSpec((None, rows, P), lambda b, i: (b, 0, i),
+    def rspec(rows, NC):
+        return pl.BlockSpec((rows, P), lambda b, i: (0, b * NC + i),
                             memory_space=pltpu.VMEM)
 
     def p2g_call(rows16, offs, off):
@@ -750,7 +756,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
         return pl.pallas_call(
             functools.partial(_p2g_fwd_kernel, p_mass=geom.p_mass, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(16)],
+            in_specs=[smem, smem, rspec(16, NC)],
             out_specs=crop4,
             out_shape=jax.ShapeDtypeStruct((B, 4, D, Ly, D), f32),
             interpret=interpret,
@@ -761,9 +767,9 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
         return pl.pallas_call(
             functools.partial(_p2g_bwd_kernel, p_mass=geom.p_mass, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(16), crop4],
-            out_specs=rspec(15),
-            out_shape=jax.ShapeDtypeStruct((B, 15, NC * P), f32),
+            in_specs=[smem, smem, rspec(16, NC), crop4],
+            out_specs=rspec(15, NC),
+            out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
         )(offs, off, rows16, ct_crop)
 
@@ -772,9 +778,9 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
         return pl.pallas_call(
             functools.partial(_g2p_fwd_kernel, dt=geom.dt, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(4), crop3],
-            out_specs=rspec(15),
-            out_shape=jax.ShapeDtypeStruct((B, 15, NC * P), f32),
+            in_specs=[smem, smem, rspec(4, NC), crop3],
+            out_specs=rspec(15, NC),
+            out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
         )(offs, off, rows4, g_crop)
 
@@ -783,11 +789,11 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
         return pl.pallas_call(
             functools.partial(_g2p_bwd_kernel, dt=geom.dt, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(4), crop3, rspec(15)],
-            out_specs=(crop3, rspec(3)),
+            in_specs=[smem, smem, rspec(4, NC), crop3, rspec(15, NC)],
+            out_specs=(crop3, rspec(3, NC)),
             out_shape=(
                 jax.ShapeDtypeStruct((B, 3, D, Ly, D), f32),
-                jax.ShapeDtypeStruct((B, 3, NC * P), f32),
+                jax.ShapeDtypeStruct((3, B * NC * P), f32),
             ),
             interpret=interpret,
         )(offs, off, rows4, g_crop, ct_rows)
@@ -797,7 +803,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
 
     @jax.custom_vjp
     def p2g_rows_b(rows16, offs, off):
-        B = rows16.shape[0]
+        B = offs.shape[0]
         return p2g_call(rows16, offs, off).reshape(B, 4, D ** 3)
 
     def p2g_rows_b_fwd(rows16, offs, off):
@@ -805,17 +811,17 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
 
     def p2g_rows_b_bwd(res, ct):
         rows16, offs, off = res
-        B = rows16.shape[0]
+        B = offs.shape[0]
         ct_crop = ct.astype(f32).reshape(B, 4, D, Ly, D)
-        drows = p2g_bwd_call(rows16, offs, off, ct_crop)  # (B, 15, N)
-        d16 = jnp.concatenate([drows, jnp.zeros_like(drows[:, :1])], axis=1)
+        drows = p2g_bwd_call(rows16, offs, off, ct_crop)  # (15, B*N)
+        d16 = jnp.concatenate([drows, jnp.zeros_like(drows[:1])], axis=0)
         return d16, _zero_int(offs), _zero_int(off)
 
     p2g_rows_b.defvjp(p2g_rows_b_fwd, p2g_rows_b_bwd)
 
     @jax.custom_vjp
     def g2p_rows_b(rows4, grid3, offs, off):
-        B = rows4.shape[0]
+        B = offs.shape[0]
         g_crop = grid3.astype(f32).reshape(B, 3, D, Ly, D)
         return g2p_call(rows4, g_crop, offs, off)
 
@@ -824,11 +830,11 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
 
     def g2p_rows_b_bwd(res, ct15):
         rows4, grid3, offs, off = res
-        B = rows4.shape[0]
+        B = offs.shape[0]
         g_crop = grid3.astype(f32).reshape(B, 3, D, Ly, D)
         dg_crop, dxr = g2p_bwd_call(rows4, g_crop, ct15.astype(f32), offs,
                                     off)
-        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:, :1])], axis=1)
+        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:1])], axis=0)
         return (d4, dg_crop.reshape(B, 3, D ** 3).astype(grid3.dtype),
                 _zero_int(offs), _zero_int(off))
 
@@ -840,8 +846,9 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
 
 
 def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
-    """mass_rows_b(rows4 (B, 4, N), offs (B, NC, 3), off (B, 3)) -> (B, D^3)
-    — batched variant of mass_fns (same kernels, grid (B, NC))."""
+    """mass_rows_b(rows4 (4, B*N), offs (B, NC, 3), off (B, 3)) -> (B, D^3)
+    — batched variant of mass_fns on the flat rows layout (same kernels,
+    grid (B, NC))."""
     sim = scene.simulator
     geom = _Geom(P=plan.P, Lx=plan.Lx, Ly=plan.Ly, D=D, G=sim.n_grid,
                  dx=float(sim.dx), inv_dx=float(sim.inv_dx),
@@ -859,8 +866,8 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
     crop1 = pl.BlockSpec((None, D, Ly, D), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def rspec(rows):
-        return pl.BlockSpec((None, rows, P), lambda b, i: (b, 0, i),
+    def rspec(rows, NC):
+        return pl.BlockSpec((rows, P), lambda b, i: (0, b * NC + i),
                             memory_space=pltpu.VMEM)
 
     def fwd_call(rows4, offs, off):
@@ -868,7 +875,7 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
         return pl.pallas_call(
             functools.partial(_mass_fwd_kernel, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(4)],
+            in_specs=[smem, smem, rspec(4, NC)],
             out_specs=crop1,
             out_shape=jax.ShapeDtypeStruct((B, D, Ly, D), f32),
             interpret=interpret,
@@ -879,9 +886,9 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
         return pl.pallas_call(
             functools.partial(_mass_bwd_kernel, **kw),
             grid=(B, NC),
-            in_specs=[smem, smem, rspec(4), crop1],
-            out_specs=rspec(3),
-            out_shape=jax.ShapeDtypeStruct((B, 3, NC * P), f32),
+            in_specs=[smem, smem, rspec(4, NC), crop1],
+            out_specs=rspec(3, NC),
+            out_shape=jax.ShapeDtypeStruct((3, B * NC * P), f32),
             interpret=interpret,
         )(offs, off, rows4, ct_crop)
 
@@ -890,7 +897,7 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
 
     @jax.custom_vjp
     def mass_rows_b(rows4, offs, off):
-        B = rows4.shape[0]
+        B = offs.shape[0]
         return fwd_call(rows4, offs, off).reshape(B, D ** 3)
 
     def mass_rows_b_fwd(rows4, offs, off):
@@ -898,9 +905,9 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
 
     def mass_rows_b_bwd(res, ct):
         rows4, offs, off = res
-        B = rows4.shape[0]
+        B = offs.shape[0]
         dxr = bwd_call(rows4, offs, off, ct.astype(f32).reshape(B, D, Ly, D))
-        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:, :1])], axis=1)
+        d4 = jnp.concatenate([dxr, jnp.zeros_like(dxr[:1])], axis=0)
         return d4, _zero_int(offs), _zero_int(off)
 
     mass_rows_b.defvjp(mass_rows_b_fwd, mass_rows_b_bwd)

@@ -26,6 +26,19 @@ from ..engine.state import Materials, SimState
 __all__ = ["make_mesh", "batch_states", "build_batched_rollout_grad"]
 
 
+def _compiler_options():
+    """Optional per-compile XLA:TPU knobs. PLB_SCOPED_VMEM_KIB raises the
+    scoped-vmem stack limit (default 16 MiB) — large batched kernels'
+    backward passes can exceed it when XLA stages a kernel output in
+    vmem (observed at B=32, g2p backward)."""
+    import os
+
+    kib = os.environ.get("PLB_SCOPED_VMEM_KIB")
+    if not kib:
+        return {}
+    return {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": int(kib)}}
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "env") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -85,7 +98,6 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
     def rollout_losses_rows(states, actions_tb, softness):
         """All envs step together through the explicit batched kernels;
         actions_tb is time-major (T, B, A). Returns per-env loss sums."""
-        @jax.checkpoint
         def step_fn(carry, acts_t):
             st, gm, off = mpm.env_step_batched(
                 scene, mats, carry, acts_t, softness, want_grid_m=True)
@@ -93,6 +105,13 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
                 lambda g, o, s: losses_mod.loss_from_crop(
                     scene, loss_state, g, o, s)["loss"])(gm, off, st)
             return st, losses_t
+
+        # outer per-env-step checkpoint follows the scene's remat policy
+        # (SimulatorSpec.remat) — "both" bounds HBM for giant sweeps,
+        # "substep"-only skips the third forward pass when per-step batched
+        # states fit (B x T x state)
+        if scene.simulator.remat in ("env_step", "both"):
+            step_fn = jax.checkpoint(step_fn)
 
         _, per_step = jax.lax.scan(step_fn, states, actions_tb)
         return jnp.sum(per_step, axis=0)
@@ -137,4 +156,5 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
         vg,
         in_shardings=(shard_b, shard_b, replicated),
         out_shardings=(replicated, shard_b),
+        **_compiler_options(),
     )
