@@ -27,7 +27,8 @@ def build(n_particles=25000):
     from plasticinelab_tpu.engine.state import default_materials, initial_state
 
     sim = SimulatorSpec(quality=1.0, n_particles=n_particles,
-                        dtype="float32")
+                        dtype="float32",
+                        remat=os.environ.get("SWEEP_REMAT", "substep"))
     prim = PrimitiveSpec(shape="Sphere", radius=0.08,
                          init_pos=(0.4, 0.5, 0.5), friction=0.9,
                          action_dim=3, action_scale=(0.01,) * 3)

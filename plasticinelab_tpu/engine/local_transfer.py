@@ -211,9 +211,12 @@ def chunk_offsets_cols(scene: SceneSpec, plan: LocalPlan, x3, off, D: int,
                        n: int, margin: int = 0) -> ChunkCtx:
     """chunk_offsets from x rows (3, N), N = NC * P, pads replicating real
     columns. Column-wise min/max keeps every reduce on the fat minor dim.
-    `margin` tightens the ok check (extent <= Lx - 3 - margin) so the flag
-    can be evaluated once per env step and stay valid while particles
-    drift (< 1 cell per env step at sane velocities)."""
+    `margin` tightens the ok check (extent <= Lx - 3 - margin) and shifts
+    the window origin DOWN by margin//2 cells, so offsets computed once per
+    env step stay exact while particles drift up to margin//2 cells in
+    EITHER direction (they move << 1 cell per env step at sane velocities;
+    the hoist saves the per-substep min/max planning in fwd AND its remat
+    recompute in bwd)."""
     sim = scene.simulator
     P = plan.P
     base = jnp.floor(x3 * sim.inv_dx - 0.5).astype(jnp.int32)  # (3, N)
@@ -225,7 +228,8 @@ def chunk_offsets_cols(scene: SceneSpec, plan: LocalPlan, x3, off, D: int,
     if plan.Ly < D:
         ok = jnp.logical_and(ok, jnp.all(ext[:, 1] <= plan.Ly - 3 - margin))
     lims = jnp.asarray([D - plan.Lx, D - plan.Ly, 0], jnp.int32)
-    offs = off[None, :] + jnp.clip(mn - off[None, :], 0, lims[None, :])
+    offs = off[None, :] + jnp.clip(
+        mn - margin // 2 - off[None, :], 0, lims[None, :])
     return ChunkCtx(offs=offs, ok=ok)
 
 
@@ -312,7 +316,9 @@ def unsort_cols_gather(order, rank, arr):
 def chunk_offsets_cols_flat(scene: SceneSpec, plan: LocalPlan, x3, off_b,
                             D: int, B: int, margin: int = 0):
     """Per-chunk window origins on the flat layout: x3 (3, B*N) sorted,
-    off_b (B, 3). Returns ChunkCtx with offs (B, NC, 3) and ok (B,)."""
+    off_b (B, 3). Returns ChunkCtx with offs (B, NC, 3) and ok (B,).
+    `margin` as in chunk_offsets_cols (tighter ok + margin//2 down-shift
+    so once-per-env-step offsets tolerate drift both ways)."""
     sim = scene.simulator
     P = plan.P
     base = jnp.floor(x3 * sim.inv_dx - 0.5).astype(jnp.int32)
@@ -328,7 +334,7 @@ def chunk_offsets_cols_flat(scene: SceneSpec, plan: LocalPlan, x3, off_b,
     lims = jnp.asarray([D - plan.Lx, D - plan.Ly, 0], jnp.int32)
     mn = mn.reshape(B, NC, 3)
     offs = off_b[:, None, :] + jnp.clip(
-        mn - off_b[:, None, :], 0, lims[None, None, :])
+        mn - margin // 2 - off_b[:, None, :], 0, lims[None, None, :])
     return ChunkCtx(offs=offs, ok=ok)
 
 

@@ -409,10 +409,15 @@ def _fk_step(scene: SceneSpec, poses, ctrl):
 
 
 def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
-                 softness, n: int):
+                 softness, n: int, off=None, offs=None):
     """One substep on rows-layout state, Pallas transfers only (the dense
     fallback is selected once per env step, see _env_step_rows). rows24
-    (24, N) f32 (N = padded, pads carry mask 0). Returns (rows24', poses')."""
+    (24, N) f32 (N = padded, pads carry mask 0). Returns (rows24', poses').
+
+    off (3,) / offs (NC, 3): crop and chunk-window origins. When given
+    (the env-step scan hoists them — the entry check's margin-2 windows
+    stay exact for the whole step's drift) the per-substep min/max
+    planning is skipped in fwd and in its remat recompute."""
     from . import pallas_local
     from .pallas_stress import stress_affine_rows
 
@@ -421,9 +426,12 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
     N = rows24.shape[1]
 
     x3 = rows24[0:3]
-    # pads replicate real positions, so they never widen the crop
-    off = local_transfer.crop_offset_cols(scene, x3, D)
-    ctx = local_transfer.chunk_offsets_cols(scene, plan, x3, off, D, n)
+    if off is None:
+        # pads replicate real positions, so they never widen the crop
+        off = local_transfer.crop_offset_cols(scene, x3, D)
+    if offs is None:
+        offs = local_transfer.chunk_offsets_cols(
+            scene, plan, x3, off, D, n).offs
 
     outCF = stress_affine_rows(scene, mats,
                                interpret=ROWS_INTERPRET)(rows24[6:24])
@@ -434,7 +442,7 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
 
     _, _, p2g_rows, g2p_rows_fn = pallas_local.transfer_fns(
         scene, plan, D, interpret=ROWS_INTERPRET)
-    grid4 = p2g_rows(rows16, ctx.offs, off)
+    grid4 = p2g_rows(rows16, offs, off)
 
     poses1 = _fk_step(scene, poses, ctrl)
     if scene.primitives:
@@ -450,7 +458,7 @@ def substep_rows(scene: SceneSpec, mats: Materials, rows24, poses, ctrl,
         gv3 = grid_op_cm(scene, grid4, poses, poses1, softness, D, off)
 
     rows4 = jnp.concatenate([x3, maskr], axis=0)
-    out15 = g2p_rows_fn(rows4, gv3.reshape(3, D ** 3), ctx.offs, off)
+    out15 = g2p_rows_fn(rows4, gv3.reshape(3, D ** 3), offs, off)
 
     new_rows = jnp.concatenate(
         [out15[12:15], out15[0:3], out15[3:12], newF9], axis=0)
@@ -513,7 +521,10 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
 
         def body(carry, _):
             r, p = carry
-            return substep_rows(scene, mats, r, p, ctrl, softness, n), None
+            # entry windows (margin-2, origin down-shifted 1) stay exact
+            # for the whole env step's drift — skip per-substep planning
+            return substep_rows(scene, mats, r, p, ctrl, softness, n,
+                                off=off0, offs=ctx0.offs), None
 
         if sim.remat in ("substep", "both"):
             body = jax.checkpoint(body)
@@ -567,15 +578,17 @@ def _env_step_rows(scene: SceneSpec, mats: Materials, state: SimState, ctrl,
 
 
 def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_f, poses_b,
-                         ctrl_b, softness_b, n: int, B: int):
+                         ctrl_b, softness_b, n: int, B: int, off_b=None,
+                         offs_b=None):
     """One substep on FLAT batched rows state: rows_f (24, B*N), env b
     owning columns [b*N, (b+1)*N) (sorted, padded). poses_b / ctrl_b have a
-    leading B. Crop and chunk-window origins are recomputed per substep
-    from the current positions (mirroring substep_rows), so windows track
-    drift within the env step. Everything is either the single-env
-    channel-major code on wider arrays or an explicit (B, NC)-grid Pallas
-    kernel — no vmap anywhere (a vmapped multi-operand lax.sort, and
-    vmapped pallas SMEM operands, both fail to compile on XLA:TPU)."""
+    leading B. off_b (B, 3) / offs_b (B, NC, 3): crop and chunk-window
+    origins; when given (env_step_batched hoists its margin-2 entry
+    windows) the per-substep planning is skipped, else recomputed from
+    current positions. Everything is either the single-env channel-major
+    code on wider arrays or an explicit (B, NC)-grid Pallas kernel — no
+    vmap anywhere (a vmapped multi-operand lax.sort, and vmapped pallas
+    SMEM operands, both fail to compile on XLA:TPU)."""
     from . import pallas_local
     from .pallas_stress import stress_affine_rows
 
@@ -585,9 +598,11 @@ def substep_rows_batched(scene: SceneSpec, mats: Materials, rows_f, poses_b,
     itp = ROWS_INTERPRET
 
     x3 = rows_f[0:3]
-    off_b = local_transfer.crop_offset_cols_flat(scene, x3, D, B)
-    offs_b = local_transfer.chunk_offsets_cols_flat(
-        scene, plan, x3, off_b, D, B).offs
+    if off_b is None:
+        off_b = local_transfer.crop_offset_cols_flat(scene, x3, D, B)
+    if offs_b is None:
+        offs_b = local_transfer.chunk_offsets_cols_flat(
+            scene, plan, x3, off_b, D, B).offs
 
     outCF = stress_affine_rows(scene, mats, interpret=itp)(rows_f[6:24])
     newF9, aff9 = outCF[0:9], outCF[9:18]
@@ -687,12 +702,12 @@ def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
     # local_transfer.sort_cols_gather)
     rows, order, rank = local_transfer.sort_cols_gather(key, rows)
 
-    # env-step-entry windows (2-cell drift margin): used only by the final
-    # mass kernel, which shares the env step's sort like _env_step_rows
-    if want_grid_m:
-        off0_b = local_transfer.crop_offset_cols_flat(scene, rows[0:3], D, B)
-        offs0_b = local_transfer.chunk_offsets_cols_flat(
-            scene, plan, rows[0:3], off0_b, D, B, margin=2).offs
+    # env-step-entry windows (2-cell margin, origin down-shifted 1): exact
+    # for the whole step's drift, hoisted out of the substep scan (and out
+    # of its remat recompute); the final mass kernel shares them too
+    off0_b = local_transfer.crop_offset_cols_flat(scene, rows[0:3], D, B)
+    offs0_b = local_transfer.chunk_offsets_cols_flat(
+        scene, plan, rows[0:3], off0_b, D, B, margin=2).offs
 
     poses_b = (states.prim_pos.astype(f32), states.prim_rot.astype(f32),
                states.prim_gap.astype(f32))
@@ -700,7 +715,8 @@ def env_step_batched(scene: SceneSpec, mats: Materials, states: SimState,
     def body(carry, _):
         r, p = carry
         return substep_rows_batched(
-            scene, mats, r, p, ctrl_b, softness_b, n, B), None
+            scene, mats, r, p, ctrl_b, softness_b, n, B,
+            off_b=off0_b, offs_b=offs0_b), None
 
     if sim.remat in ("substep", "both"):
         body = jax.checkpoint(body)

@@ -46,12 +46,13 @@ def _tile_coords(i, off, Tx, Ly, D):
 
 def _grid_ids(off_ref, soft_ref, nb):
     """Tile index + crop origin + softness for the single-env grid (NT,)
-    [nb=0] or the batched grid (B, NT) [nb=1] with off (B, 3) / soft (B,)
-    full-array SMEM."""
+    [nb=0] or the batched grid (B, NT) [nb=1] with off FLAT (B*3,) / soft
+    (B,) full-array SMEM (multi-dim SMEM windows pad minor rows to large
+    alignment — see pallas_local._grid_ids)."""
     if nb:
         b = pl.program_id(0)
         i = pl.program_id(1)
-        return i, [off_ref[b, k] for k in range(3)], soft_ref[b]
+        return i, [off_ref[b * 3 + k] for k in range(3)], soft_ref[b]
     i = pl.program_id(0)
     return i, [off_ref[k] for k in range(3)], soft_ref[0]
 
@@ -230,7 +231,7 @@ def grid_op_fns_batched(scene, D: int, interpret: bool = False):
             out_specs=g3_spec,
             out_shape=jax.ShapeDtypeStruct((B, 3, D, Ly * D), f32),
             interpret=interpret,
-        )(off, softness.reshape(B).astype(f32), pf, gap,
+        )(off.reshape(-1), softness.reshape(B).astype(f32), pf, gap,
           g4.reshape(B, 4, D, Ly * D))
 
     def bwd_call(g4, pf, gap, softness, off, ct):
@@ -246,7 +247,7 @@ def grid_op_fns_batched(scene, D: int, interpret: bool = False):
                 jax.ShapeDtypeStruct((B, k, 2), f32),
             ),
             interpret=interpret,
-        )(off, softness.reshape(B).astype(f32), pf, gap,
+        )(off.reshape(-1), softness.reshape(B).astype(f32), pf, gap,
           g4.reshape(B, 4, D, Ly * D), ct.reshape(B, 3, D, Ly * D))
 
     @jax.custom_vjp

@@ -86,17 +86,20 @@ def _dot(a, b, dims):
     return d(ah, bh) + d(al, bh) + d(ah, bl)
 
 
-def _grid_ids(offs_ref, off_ref, nb):
+def _grid_ids(offs_ref, off_ref, nb, NC=0):
     """Chunk index + per-chunk window origin + crop origin x, for both the
-    single-env grid (NC,) [nb=0] and the batched grid (B, NC) [nb=1]. In the
-    batched case offs is (B, NC, 3) and off (B, 3), both full-array SMEM —
-    jax.vmap's pallas batching rule would instead BLOCK the SMEM operands
-    along batch, which Mosaic rejects; these explicit grids are why the
-    batched path exists."""
+    single-env grid (NC,) [nb=0] and the batched grid (B, NC) [nb=1]. In
+    the batched case offs/off are FLAT 1-D SMEM arrays (B*NC*3,) / (B*3,):
+    multi-dim SMEM windows pad each minor row to large alignment (an
+    s32[128,20,3] SMEM window allocates 1.5 MB against the 1 MB SMEM
+    budget), and jax.vmap's pallas batching rule would BLOCK the SMEM
+    operands along batch, which Mosaic rejects — these explicit flat
+    layouts are why the batched path exists."""
     if nb:
         b = pl.program_id(0)
         i = pl.program_id(1)
-        return i, [offs_ref[b, i, k] for k in range(3)], off_ref[b, 0]
+        base = (b * NC + i) * 3
+        return i, [offs_ref[base + k] for k in range(3)], off_ref[b * 3]
     i = pl.program_id(0)
     return i, [offs_ref[i, k] for k in range(3)], off_ref[0]
 
@@ -150,14 +153,14 @@ def _weights(px, off_s, L, dtype, want_prime):
 # ---------------------------------------------------------------------------
 
 def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
-                    dx, inv_dx, p_mass, nb=0):
+                    dx, inv_dx, p_mass, nb=0, NC=0):
     """rows (16, P): x0..2, v0..2, aff00..22 (row-major), mask.
     out (4, D, Ly, D): the whole crop (channels: mom x/y/z, mass), x on a
     major axis, accumulated across the chunk grid.
 
     mom_s(cell j) = sum_p W_j * (p_mass * v_s + dx * aff_s . dpos_j);
     the dpos factors live inside the WD weight variants."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -210,13 +213,13 @@ def _p2g_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
 
 
 def _g2p_fwd_kernel(offs_ref, off_ref, rows_ref, g_ref, out_ref, *, Lx, Ly,
-                    D, G, dx, inv_dx, dt, nb=0):
+                    D, G, dx, inv_dx, dt, nb=0, NC=0):
     """rows (4, P): x0..2, mask. g (3, D, Ly, D): the whole crop, resident.
     out (15, P): v0..2, C00..C22 (row-major s*3+axis), nx0..2.
 
     V_s = sum_j W_j g_sj;  C_s,axis = 4*inv_dx * sum_j W_j dpos_axis,j g_sj
     — the dpos factor lives inside the WD variants (no V*rel0 term)."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -275,10 +278,10 @@ def _g2p_fwd_kernel(offs_ref, off_ref, rows_ref, g_ref, out_ref, *, Lx, Ly,
 # ---------------------------------------------------------------------------
 
 def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
-                    D, G, dx, inv_dx, p_mass, nb=0):
+                    D, G, dx, inv_dx, p_mass, nb=0, NC=0):
     """ct (4, D, Ly, D): cotangent crop, resident (channels: mom x/y/z,
     mass). out (15, P): dx0..2, dv0..2, daff00..22."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -375,11 +378,11 @@ def _p2g_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, out_ref, *, Lx, Ly,
 
 
 def _g2p_bwd_kernel(offs_ref, off_ref, rows_ref, g_ref, ct_ref, dg_ref,
-                    dx_ref, *, Lx, Ly, D, G, dx, inv_dx, dt, nb=0):
+                    dx_ref, *, Lx, Ly, D, G, dx, inv_dx, dt, nb=0, NC=0):
     """ct (15, P): ct_v0..2, ct_C00..22, ct_nx0..2 (zero on padded lanes).
     g (3, D, Ly, D): forward grid crop (residual), resident.
     dg (3, D, Ly, D): grid cotangent crop, accumulated; dx_ref (3, P)."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = dx_ref.dtype
     P = rows_ref.shape[1]
 
@@ -754,40 +757,42 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
     def p2g_call(rows16, offs, off):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_p2g_fwd_kernel, p_mass=geom.p_mass, **kw),
+            functools.partial(_p2g_fwd_kernel, p_mass=geom.p_mass, NC=NC,
+                              **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(16, NC)],
             out_specs=crop4,
             out_shape=jax.ShapeDtypeStruct((B, 4, D, Ly, D), f32),
             interpret=interpret,
-        )(offs, off, rows16)
+        )(offs.reshape(-1), off.reshape(-1), rows16)
 
     def p2g_bwd_call(rows16, offs, off, ct_crop):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_p2g_bwd_kernel, p_mass=geom.p_mass, **kw),
+            functools.partial(_p2g_bwd_kernel, p_mass=geom.p_mass, NC=NC,
+                              **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(16, NC), crop4],
             out_specs=rspec(15, NC),
             out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
-        )(offs, off, rows16, ct_crop)
+        )(offs.reshape(-1), off.reshape(-1), rows16, ct_crop)
 
     def g2p_call(rows4, g_crop, offs, off):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_g2p_fwd_kernel, dt=geom.dt, **kw),
+            functools.partial(_g2p_fwd_kernel, dt=geom.dt, NC=NC, **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(4, NC), crop3],
             out_specs=rspec(15, NC),
             out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
-        )(offs, off, rows4, g_crop)
+        )(offs.reshape(-1), off.reshape(-1), rows4, g_crop)
 
     def g2p_bwd_call(rows4, g_crop, ct_rows, offs, off):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_g2p_bwd_kernel, dt=geom.dt, **kw),
+            functools.partial(_g2p_bwd_kernel, dt=geom.dt, NC=NC, **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(4, NC), crop3, rspec(15, NC)],
             out_specs=(crop3, rspec(3, NC)),
@@ -796,7 +801,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
                 jax.ShapeDtypeStruct((3, B * NC * P), f32),
             ),
             interpret=interpret,
-        )(offs, off, rows4, g_crop, ct_rows)
+        )(offs.reshape(-1), off.reshape(-1), rows4, g_crop, ct_rows)
 
     def _zero_int(a):
         return np.zeros(a.shape, jax.dtypes.float0)
@@ -873,24 +878,24 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
     def fwd_call(rows4, offs, off):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_mass_fwd_kernel, **kw),
+            functools.partial(_mass_fwd_kernel, NC=NC, **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(4, NC)],
             out_specs=crop1,
             out_shape=jax.ShapeDtypeStruct((B, D, Ly, D), f32),
             interpret=interpret,
-        )(offs, off, rows4)
+        )(offs.reshape(-1), off.reshape(-1), rows4)
 
     def bwd_call(rows4, offs, off, ct_crop):
         B, NC = offs.shape[0], offs.shape[1]
         return pl.pallas_call(
-            functools.partial(_mass_bwd_kernel, **kw),
+            functools.partial(_mass_bwd_kernel, NC=NC, **kw),
             grid=(B, NC),
             in_specs=[smem, smem, rspec(4, NC), crop1],
             out_specs=rspec(3, NC),
             out_shape=jax.ShapeDtypeStruct((3, B * NC * P), f32),
             interpret=interpret,
-        )(offs, off, rows4, ct_crop)
+        )(offs.reshape(-1), off.reshape(-1), rows4, ct_crop)
 
     def _zero_int(a):
         return np.zeros(a.shape, jax.dtypes.float0)
@@ -922,9 +927,9 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
-                     dx, inv_dx, p_mass, nb=0):
+                     dx, inv_dx, p_mass, nb=0, NC=0):
     """rows (4, P): x0..2, mask. out (D, Ly, D): mass crop, accumulated."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = out_ref.dtype
     P = rows_ref.shape[1]
 
@@ -949,9 +954,9 @@ def _mass_fwd_kernel(offs_ref, off_ref, rows_ref, out_ref, *, Lx, Ly, D, G,
 
 
 def _mass_bwd_kernel(offs_ref, off_ref, rows_ref, ct_ref, dx_ref, *, Lx, Ly,
-                     D, G, dx, inv_dx, p_mass, nb=0):
+                     D, G, dx, inv_dx, p_mass, nb=0, NC=0):
     """ct (D, Ly, D): mass-crop cotangent, resident. dx_ref (3, P)."""
-    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb)
+    i, offs, off0 = _grid_ids(offs_ref, off_ref, nb, NC)
     dtype = dx_ref.dtype
     P = rows_ref.shape[1]
 
