@@ -32,6 +32,13 @@ def main():
         "move-v1.json",
     )
     scene = load_scene(spec_path)
+    remat = os.environ.get("BENCH_REMAT")
+    if remat:
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene, simulator=dataclasses.replace(scene.simulator,
+                                                 remat=remat))
     particles, _ = build_particles(scene.shapes)
     scene = scene.with_n_particles(len(particles))
     mats = default_materials(scene)
@@ -47,15 +54,15 @@ def main():
     substeps = scene.simulator.substeps  # 19
 
     def rollout_loss(state0, actions, softness):
+        rscene = mpm.resolve_remat(scene, int(actions.shape[0]))
+
         def step_fn(carry, action):
             st, gm, off = mpm.env_step_with_grid_m(
-                scene, mats, carry, action, softness)
-            info = losses_mod.loss_from_crop(scene, loss_state, gm, off, st)
+                rscene, mats, carry, action, softness)
+            info = losses_mod.loss_from_crop(rscene, loss_state, gm, off, st)
             return st, info["loss"]
 
-        # single env: the inner per-substep checkpoint already bounds
-        # memory; a second (outer) level would run the forward a third time
-        if scene.simulator.remat in ("env_step", "both"):
+        if rscene.simulator.remat in ("env_step", "both"):
             step_fn = jax.checkpoint(step_fn)
         _, per_step = jax.lax.scan(step_fn, state0, actions)
         return jnp.sum(per_step)

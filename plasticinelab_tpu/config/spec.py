@@ -44,15 +44,14 @@ class SimulatorSpec:
     # scan (mpm.env_step) applies an inner per-substep jax.checkpoint for
     # "substep"/"both"; trajectory-level rollouts (sim.rollout_value_and_grad,
     # bench.py, parallel.mesh) apply an outer per-env-step checkpoint for
-    # "env_step"/"both". Exactly ONE level is optimal for a single env —
-    # the forward runs twice instead of three times and residuals stay
-    # bounded (~1 MB/substep carries at 10k particles, ~1 GB per 950-substep
-    # trajectory). "both" is required for large vmapped env batches (inner
-    # bounds residuals to one substep x batch, outer bounds carries).
-    # "none" stores every substep's XLA residuals (~35 MB each at 10k
-    # particles — a 950-substep trajectory overflows a 16 GB chip; only for
-    # short horizons).
-    remat: str = "substep"
+    # "env_step"/"both". "none" checkpoints nothing: every substep's XLA
+    # residuals are stored (~0.4 KB/particle/substep measured-order at 10k
+    # particles — a single-env 950-substep trajectory is ~4 GB and runs
+    # ~19% faster than any recomputing policy: 1065 vs 945 substeps/s on
+    # the v5e). "auto" (the default) picks the cheapest policy that fits
+    # the HBM budget for the rollout's (horizon, batch) at trace time —
+    # see mpm.resolve_remat.
+    remat: str = "auto"
     # Transfer backend selection. "auto" uses the Pallas local-window rows
     # path on TPU where eligible; "dense" forces the chunked dense
     # Khatri-Rao path — required under vmap (batched envs), whose batching

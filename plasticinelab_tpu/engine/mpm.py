@@ -373,6 +373,48 @@ _STRESS_BLOCK = 2048  # pallas_stress block granularity (16 sublanes x 128)
 ROWS_INTERPRET = False
 
 
+# remat="auto" resolution constants (measured-order, f32, 24-row state):
+# XLA residuals per particle-substep with NO checkpoint (~0.4 KB at 10k
+# particles — a 950-substep Move-v1 trajectory ran in 16 GB), and the
+# 24-float carry per particle-substep that "substep" remat stores.
+_REMAT_RESID_BYTES = 400
+_REMAT_CARRY_BYTES = 96
+_REMAT_RESID_BUDGET = 10e9   # leave headroom on a 16 GB chip
+_REMAT_CARRY_BUDGET = 13e9
+
+
+def resolve_remat(scene: SceneSpec, horizon: int, batch: int = 1) -> SceneSpec:
+    """Resolve SimulatorSpec.remat == "auto" to a concrete policy for a
+    rollout of `horizon` env steps over `batch` envs, cheapest-first:
+
+    - "none":     store all substep residuals (no recompute; fastest —
+                  1065 vs 945 substeps/s measured single-env on the v5e)
+    - "substep":  store per-substep carries, recompute substep internals
+    - "env_step": store per-env-step carries, recompute each env step once
+                  (residuals live for one env step x batch at a time)
+    - "both":     both checkpoint levels (third forward pass; last resort)
+
+    Called at trace time (horizon/batch are Python ints); rollouts that
+    already carry a concrete policy pass through unchanged."""
+    import dataclasses
+
+    sim = scene.simulator
+    if sim.remat != "auto":
+        return scene
+    S = horizon * sim.substeps * batch
+    n = sim.n_particles
+    if S * n * _REMAT_RESID_BYTES < _REMAT_RESID_BUDGET:
+        policy = "none"
+    elif S * n * _REMAT_CARRY_BYTES < _REMAT_CARRY_BUDGET:
+        policy = "substep"
+    elif batch * sim.substeps * n * _REMAT_RESID_BYTES < _REMAT_RESID_BUDGET:
+        policy = "env_step"
+    else:
+        policy = "both"
+    return dataclasses.replace(
+        scene, simulator=dataclasses.replace(sim, remat=policy))
+
+
 def rows_pad(scene: SceneSpec, n: int) -> int:
     plan = local_transfer.plan_for(scene, crop_size(scene))
     m = int(np.lcm(plan.P, _STRESS_BLOCK))

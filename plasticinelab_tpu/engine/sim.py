@@ -211,17 +211,19 @@ class PhysicsEnv:
             scene, mats = self.scene, self.mats
 
             def rollout_loss(state0, actions, softness):
+                # actions.shape is static at trace time: resolve "auto" to
+                # the cheapest policy that fits this horizon (typically
+                # "none" — no recompute — for reference-budget rollouts)
+                rscene = mpm.resolve_remat(scene, int(actions.shape[0]))
+
                 def step_fn(carry, action):
                     st, gm, off = mpm.env_step_with_grid_m(
-                        scene, mats, carry, action, softness)
+                        rscene, mats, carry, action, softness)
                     info = losses_mod.loss_from_crop(
-                        scene, self.loss_state, gm, off, st)
+                        rscene, self.loss_state, gm, off, st)
                     return st, info["loss"]
 
-                # one remat level is optimal for a single env (see
-                # SimulatorSpec.remat); the outer level applies only when
-                # the policy asks for it
-                if scene.simulator.remat in ("env_step", "both"):
+                if rscene.simulator.remat in ("env_step", "both"):
                     step_fn = jax.checkpoint(step_fn)
 
                 final, losses = jax.lax.scan(step_fn, state0, actions)

@@ -98,19 +98,23 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
     def rollout_losses_rows(states, actions_tb, softness):
         """All envs step together through the explicit batched kernels;
         actions_tb is time-major (T, B, A). Returns per-env loss sums."""
+        # horizon and batch are static at trace time: resolve "auto" to
+        # the cheapest policy whose stored state fits HBM (mpm.resolve_remat)
+        rscene = mpm.resolve_remat(scene, int(actions_tb.shape[0]),
+                                   int(states.x.shape[0]))
+
         def step_fn(carry, acts_t):
             st, gm, off = mpm.env_step_batched(
-                scene, mats, carry, acts_t, softness, want_grid_m=True)
+                rscene, mats, carry, acts_t, softness, want_grid_m=True)
             losses_t = jax.vmap(
                 lambda g, o, s: losses_mod.loss_from_crop(
-                    scene, loss_state, g, o, s)["loss"])(gm, off, st)
+                    rscene, loss_state, g, o, s)["loss"])(gm, off, st)
             return st, losses_t
 
-        # outer per-env-step checkpoint follows the scene's remat policy
-        # (SimulatorSpec.remat) — "both" bounds HBM for giant sweeps,
-        # "substep"-only skips the third forward pass when per-step batched
-        # states fit (B x T x state)
-        if scene.simulator.remat in ("env_step", "both"):
+        # outer per-env-step checkpoint follows the resolved remat policy —
+        # "both" bounds HBM for giant sweeps, "substep"-only skips the
+        # third forward pass when per-step batched states fit (B x T x state)
+        if rscene.simulator.remat in ("env_step", "both"):
             step_fn = jax.checkpoint(step_fn)
 
         _, per_step = jax.lax.scan(step_fn, states, actions_tb)
