@@ -12,8 +12,11 @@ substeps/s (median step time after the compile step) so per-family perf
 regressions are diffable across rounds (VERDICT r2 item 8).
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
