@@ -16,6 +16,7 @@ jitted fori_loop; randomness is jax.random.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -68,19 +69,18 @@ def _sample_tex(tex_flat, res, pos, channels: int):
 
 
 # ---------------------------------------------------------------------------
-# corner-packed sampling + coarse skip field
+# corner-packed sampling + in-row distance field
 #
-# TPU gathers cost ~300 us fixed per op plus ~10 ns per index regardless of
-# row width (measured), so the march is engineered to MINIMIZE gather ops and
-# total indices: the 8 trilinear corners are pre-packed into one row (one
-# gather instead of eight), empty space is skipped via a coarse per-block
-# distance field (true sphere tracing at block granularity), near-surface
-# marching gathers K speculative fixed steps per op, and the hit refinement /
-# normal come from already-gathered corner rows instead of extra samples.
+# Measured on the v5e (tools/profile_loops.py): loop overhead is negligible
+# and gathers inside a compiled loop cost ~9 ns per gathered INDEX regardless
+# of row width or of how steps are grouped into ops — march wallclock is
+# (sequential samples of the worst lane) x (lanes in the op) x 9 ns. The
+# march therefore minimizes SAMPLES PER LANE: the 8 trilinear corners AND a
+# per-voxel Chebyshev distance-to-surface are packed into ONE row, so a
+# single gather per step yields both the sample and a certified skip —
+# sphere tracing on an exact cell-distance field, sampling at the reference
+# minimum step h only inside near-surface cells (where crossings can live).
 # ---------------------------------------------------------------------------
-
-_SKIP_BLOCK = 4          # coarse block size in voxels
-_NEAR_MARGIN = 0.25      # val-threshold margin flagging near-surface blocks
 
 
 def _pack_corners(t3):
@@ -144,139 +144,146 @@ def _trilerp_grad(v, fx):
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
-def _coarse_skip_field(sdf3, threshold):
-    """Per-(4^3)-block Chebyshev distance (in blocks) to the nearest block
-    whose 1-voxel-dilated min value dips below threshold + margin. From any
-    point in a block with cd = c, no trilinear sample within (c-1)*4 voxels
-    (inf-norm) can cross the threshold — a safe sphere-trace skip."""
-    C = _SKIP_BLOCK
-    X, Y, Z = sdf3.shape
-    pad = [(0, (-s) % C) for s in (X, Y, Z)]
-    v = jnp.pad(sdf3, pad, constant_values=1.0)
-    # min over each block dilated by one voxel (covers corner interpolation
-    # reaching into neighbor blocks)
-    bmin = -jax.lax.reduce_window(
-        -v, -jnp.inf, jax.lax.max, (C + 2, C + 2, C + 2), (C, C, C), "SAME"
-    )
-    near = bmin < threshold + _NEAR_MARGIN
-    iters = 15
-    big = jnp.float32(1e4)
-    cd = jnp.where(near, 0.0, big)
+def _near_bounds(near):
+    """Tight bounds (in voxel units, rel = vox/res) of the near-cell set:
+    every threshold crossing lives inside [lo, hi]. Rays are clipped to this
+    box instead of the full texture AABB — at 512^2 the material covers a
+    small screen fraction, so most lanes never march at all. Empty near set
+    => lo > hi (ray_aabb then rejects every ray)."""
+    any_near = jnp.any(near)
+    los, his = [], []
+    for ax in range(3):
+        proj = jnp.any(near, axis=tuple(a for a in range(3) if a != ax))
+        n = proj.shape[0]
+        lo = jnp.argmax(proj)
+        hi = n - 1 - jnp.argmax(proj[::-1])
+        los.append(jnp.where(any_near, lo, 1).astype(jnp.float32))
+        his.append(jnp.where(any_near, hi + 1, 0).astype(jnp.float32))
+    return jnp.stack(los), jnp.stack(his)
+
+
+def _cell_distance_field(sdf3, threshold, iters=24):
+    """Exact (clamped) Chebyshev distance, in cells, from each voxel cell to
+    the nearest NEAR cell — a cell is near when the min of its 8 corners
+    dips below threshold (a trilinear sample inside a far cell can never
+    cross it, min(corners) <= trilerp). From a point inside a cell with
+    d = D, every point strictly within (D-1) voxels (any norm; L2 >= Linf)
+    lies in a far cell — a certified sphere-trace skip."""
+    pads = [(0, 1)] * 3
+    cmin = -jax.lax.reduce_window(
+        -jnp.pad(sdf3, pads, constant_values=jnp.inf),
+        -jnp.inf, jax.lax.max, (2, 2, 2), (1, 1, 1), "VALID")
+    near = cmin < threshold
+    d = jnp.where(near, 0.0, jnp.float32(iters + 1))
     for _ in range(iters):
         nmin = -jax.lax.reduce_window(
-            -cd, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-        cd = jnp.minimum(cd, nmin + 1.0)
-    # blocks beyond the relaxation radius still hold the sentinel — clamp
-    # to the largest distance the iterations actually certified
-    cd = jnp.minimum(cd, jnp.float32(iters + 1))
-    return cd  # (ceil(X/C), ceil(Y/C), ceil(Z/C)) f32, in block units
+            -d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        d = jnp.minimum(d, nmin + 1.0)
+    return d, near  # (X, Y, Z) f32 in [0, iters+1], near-cell mask
 
 
-def _sample_skip(cd_flat, cd_res, res, pos):
-    """Nearest-block cd lookup for pos in texture coords; returns the safe
-    skip distance in VOXELS (0 when in/next to a near block)."""
-    a, b, c = res
-    C = _SKIP_BLOCK
-    p = pos * jnp.asarray([a, b, c], jnp.float32)
-    blk = jnp.clip((p / C).astype(jnp.int32), 0,
-                   jnp.asarray(cd_res, jnp.int32) - 1)
-    idx = (blk[..., 0] * cd_res[1] + blk[..., 1]) * cd_res[2] + blk[..., 2]
-    cd = cd_flat[idx]
-    return jnp.maximum(cd - 1.0, 0.0) * C
-
-
-def _march_packed(pack, cd_flat, res, cd_res, bbox, thr, h, vox, o, d,
-                  t0, tfar, active0, K=8, fine_iters=2, rounds=8, a_cap=16):
+def _march_packed(pack9, res, bbox, thr, h, vox, o, d, t0, tfar, active0,
+                  cap=512):
     """First threshold crossing of the trilinear field along o + t*d.
 
-    Alternates a coarse sphere-trace loop on the block-distance field
-    (one 4-byte row per lane per step) with speculative fine bursts that
-    gather K fixed-h steps in one corner-row op — gather ops are the unit
-    of cost on TPU, so both loops maximize work per gather. h is the
+    One gather per sequential step: the (..., 9) row holds the 8 trilinear
+    corners plus the cell's Chebyshev distance-to-surface (see
+    _cell_distance_field). Far from the surface the lane skips (D-1) voxels
+    (certified crossing-free); inside near cells it samples at h — the
     reference marcher's MINIMUM step (renderer.py:288 max(s*0.05, 0.01)),
-    i.e. this samples at least as finely as the reference everywhere.
+    i.e. at least as finely as the reference wherever a crossing can exist
+    (and exactly, not heuristically, in empty space: far cells cannot
+    contain a crossing at all).
 
-    Returns (hit, t_hit, s_hit, s_prev): s at the crossing sample and at
-    the previous sample (s_prev = 1.0 when the crossing was the first
-    sample ever taken on that lane).
+    Returns (hit, t_hit): s(t_hit) < 0 and the previous sample (>= 0) is at
+    most h behind — skip endpoints are continuity points of s >= 0, so a
+    crossing is always bracketed by the last fine step (see _refine_packed).
     """
     f32 = jnp.float32
     R = o.shape[0]
     span = bbox[1] - bbox[0]
 
-    def to_tex(p):
-        return (p - bbox[0]) / span
+    def cond(c):
+        j, t, hit, thit, active = c
+        return (j < cap) & jnp.any(active)
 
-    def sample_s(p):  # (..., 3) world -> masked s = val - thr
-        rel = to_tex(p)
+    def body(c):
+        j, t, hit, thit, active = c
+        rel = (o + d * t[:, None] - bbox[0]) / span
         ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
-        v, fx = _corner_rows(pack, res, rel)
-        return jnp.where(ok, _trilerp(v, fx) - thr, 0.0)
-
-    ks = jnp.arange(K, dtype=f32)
-
-    def outer_cond(c):
-        r, t, hit, thit, sh, sp, active = c
-        return (r < rounds) & jnp.any(active)
-
-    def outer_body(c):
-        r, t, hit, thit, sh, sp, active = c
-
-        # --- coarse skip: advance while the block-distance field clears ---
-        def a_cond(ca):
-            j, t, act = ca
-            return (j < a_cap) & jnp.any(act)
-
-        def a_body(ca):
-            j, t, act = ca
-            pos = o + d * t[:, None]
-            skip = _sample_skip(cd_flat, cd_res, res, to_tex(pos)) * vox
-            adv = act & (skip > 0)
-            t = jnp.where(adv, t + skip, t)
-            act = adv & (t < tfar)
-            return j + 1, t, act
-
-        _, t, _ = jax.lax.while_loop(a_cond, a_body, (0, t, active))
-        active = active & (t < tfar)
-
-        # --- fine burst: K fixed steps per gather op ---
-        def b_body(i, cb):
-            t, hit, thit, sh, sp, active = cb
-            ts = t[:, None] + h * ks[None, :]                 # (R, K)
-            pk = o[:, None, :] + d[:, None, :] * ts[..., None]
-            s = sample_s(pk)                                   # (R, K)
-            live = active & ~hit
-            neg = s < 0
-            found = live & jnp.any(neg, axis=1)
-            kf = jnp.argmax(neg, axis=1)                       # first neg k
-            t_hit_new = t + h * kf.astype(f32)
-            # one-hot selects: a take_along_axis is itself a (slow) TPU
-            # gather, a masked sum is a cheap VPU reduction
-            iot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s_hit_new = jnp.sum(jnp.where(iot == kf[:, None], s, 0.0), 1)
-            kp = jnp.maximum(kf - 1, 0)
-            s_prev_new = jnp.where(
-                kf > 0,
-                jnp.sum(jnp.where(iot == kp[:, None], s, 0.0), 1), 1.0)
-            thit = jnp.where(found, t_hit_new, thit)
-            sh = jnp.where(found, s_hit_new, sh)
-            sp = jnp.where(found, s_prev_new, sp)
-            hit = hit | found
-            t = jnp.where(live & ~found, t + h * (K - 1), t)
-            active = active & ~hit & (t < tfar)
-            return t, hit, thit, sh, sp, active
-
-        t, hit, thit, sh, sp, active = jax.lax.fori_loop(
-            0, fine_iters, b_body, (t, hit, thit, sh, sp, active))
-        return r + 1, t, hit, thit, sh, sp, active
+        v, fx = _corner_rows(pack9, res, rel)
+        s = jnp.where(ok, _trilerp(v[..., :8], fx) - thr, 0.0)
+        dist = v[..., 8]
+        found = active & (s < 0)
+        thit = jnp.where(found, t, thit)
+        hit = hit | found
+        step = jnp.maximum((dist - 1.0) * vox, h)
+        t = jnp.where(active & ~found, t + step, t)
+        active = active & ~found & (t < tfar)
+        return j + 1, t, hit, thit, active
 
     hit0 = jnp.zeros((R,), bool)
     thit0 = jnp.full((R,), jnp.inf, f32)
-    s0 = jnp.zeros((R,), f32)
-    _, _, hit, thit, sh, sp, _ = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (0, t0, hit0, thit0, s0, jnp.ones((R,), f32), active0))
-    return hit, thit, sh, sp
+    _, _, hit, thit, _ = jax.lax.while_loop(
+        cond, body, (0, t0, hit0, thit0, active0))
+    return hit, thit
+
+
+def _march_compacted(pack9, res, bbox, thr, h, vox, o, d, t0, tfar, active0,
+                     chunk=None, refine=False):
+    """_march_packed over only the ACTIVE lanes, compacted into fixed-size
+    chunks. Every lane in a full-width march op costs its gather index
+    whether or not it is active (~9 ns/idx — see the module header), and at
+    512^2 most lanes never intersect the texture bbox; compacting makes
+    march cost proportional to active rays. Lanes are permuted actives-first
+    (argsort of ~active is stable), processed in ceil(count/chunk) dynamic
+    chunks by a while_loop, and scattered back — results are identical to
+    the full-width march."""
+    if chunk is None:
+        chunk = int(os.environ.get("PLB_RENDER_MARCH_CHUNK", 65536))
+    R = o.shape[0]
+    if R <= chunk:
+        hit, thit = _march_packed(pack9, res, bbox, thr, h, vox, o, d, t0,
+                                  tfar, active0)
+        if refine:
+            thit = _refine_packed(pack9, res, bbox, thr, h, o, d, hit, thit)
+        return hit, thit
+    f32 = jnp.float32
+    order = jnp.argsort(~active0)  # stable: active lanes first
+    count = jnp.sum(active0.astype(jnp.int32))
+    rays = jnp.concatenate(
+        [o, d, t0[:, None], tfar[:, None]], axis=-1)[order]  # one gather
+
+    def chunk_cond(c):
+        k, _, _ = c
+        return k * chunk < count
+
+    def chunk_body(c):
+        k, hit_s, thit_s = c
+        rc = jax.lax.dynamic_slice_in_dim(rays, k * chunk, chunk, 0)
+        act = (jnp.arange(chunk) + k * chunk) < count
+        hit_c, thit_c = _march_packed(
+            pack9, res, bbox, thr, h, vox, rc[:, 0:3], rc[:, 3:6],
+            rc[:, 6], rc[:, 7], act)
+        if refine:
+            thit_c = _refine_packed(pack9, res, bbox, thr, h,
+                                    rc[:, 0:3], rc[:, 3:6], hit_c, thit_c)
+        hit_s = jax.lax.dynamic_update_slice_in_dim(hit_s, hit_c, k * chunk, 0)
+        thit_s = jax.lax.dynamic_update_slice_in_dim(
+            thit_s, thit_c, k * chunk, 0)
+        return k + 1, hit_s, thit_s
+
+    pad = (-R) % chunk
+    hit0 = jnp.zeros((R + pad,), bool)
+    thit0 = jnp.full((R + pad,), jnp.inf, f32)
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pad, rays.shape[1]), rays.dtype)], 0)
+    _, hit_s, thit_s = jax.lax.while_loop(
+        chunk_cond, chunk_body, (0, hit0, thit0))
+    inv = jnp.zeros((R,), jnp.int32).at[order].set(
+        jnp.arange(R, dtype=jnp.int32))
+    return hit_s[inv], thit_s[inv]
 
 
 def _refine_packed(pack, res, bbox, thr, h, o, d, hit, thit, K2=8):
@@ -291,7 +298,7 @@ def _refine_packed(pack, res, bbox, thr, h, o, d, hit, thit, K2=8):
         rel = (p - bbox[0]) / span
         ok = (jnp.min(rel, -1) >= 0) & (jnp.max(rel, -1) <= 1)
         v, fx = _corner_rows(pack, res, rel)
-        return jnp.where(ok, _trilerp(v, fx) - thr, 0.0)
+        return jnp.where(ok, _trilerp(v[..., :8], fx) - thr, 0.0)
 
     dh = h / K2
     base = jnp.maximum(thit - h, 0.0)
@@ -444,11 +451,7 @@ class Renderer:
         normals directly (probe_rays)."""
         scene = self.scene
         res = self.voxel_res
-
-        C = _SKIP_BLOCK
-        cd_res = tuple((r + C - 1) // C for r in res)
         tres = self.target_res
-        tgt_cd_res = tuple((r + C - 1) // C for r in tres)
         unit_bbox = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
                                 jnp.float32)
         h_fine = 0.01                      # reference minimum step (:288)
@@ -460,7 +463,7 @@ class Renderer:
             central-difference samples (renderer.py sample_normal)."""
             rel = (pos - bbox[0]) / (bbox[1] - bbox[0])
             v, fx = _corner_rows(pack, pres, rel)
-            g = _trilerp_grad(v, fx)
+            g = _trilerp_grad(v[..., :8], fx)
             return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
 
         def packed_color(col_pack, bbox, pos):
@@ -494,6 +497,28 @@ class Renderer:
             v = jnp.stack(vals, axis=-1)  # (R, k)
             return jnp.min(v, -1).astype(jnp.float32), jnp.argmin(v, -1).astype(jnp.int32)
 
+        def prim_bound_entry(poses, o, d):
+            """First intersection of the ray with any primitive's bounding
+            sphere (INF on miss) — the sphere trace starts there instead of
+            at the camera (identical hits: sdf > 0 strictly outside every
+            bounding sphere), so off-object lanes go inactive immediately
+            and on-object lanes skip the empty approach."""
+            pos, rot, gap = poses
+            t_enter = jnp.full(o.shape[:-1], INF, jnp.float32)
+            for i, p in enumerate(scene.primitives):
+                rad = prim_mod.bounding_radius(p, gap[i]) + 1e-3
+                oc = o - pos[i]
+                b = jnp.sum(oc * d, -1)
+                c = jnp.sum(oc * oc, -1) - rad * rad
+                disc = b * b - c
+                t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+                hit_front = (disc > 0) & (t >= 0)
+                inside = c <= 0
+                t = jnp.where(inside, 0.0, t)
+                t_enter = jnp.where(hit_front | inside,
+                                    jnp.minimum(t_enter, t), t_enter)
+            return t_enter
+
         def prim_normal_color(poses, sdf_id, pp):
             pos, rot, gap = poses
             normal = jnp.zeros(pp.shape, jnp.float32)
@@ -508,9 +533,17 @@ class Renderer:
                 )
             return normal, color
 
+        res_f = jnp.asarray(res, jnp.float32)
+        tres_f = jnp.asarray(tres, jnp.float32)
+
+        def tight_world(bbox, tight):
+            span = bbox[1] - bbox[0]
+            return (bbox[0] + tight[0] / res_f * span,
+                    bbox[0] + tight[1] / res_f * span)
+
         def next_hit(textures, o, d, alive):
-            sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses = \
-                textures
+            sdf_pack, sdf_tight, col_pack, bbox, tgt_pack, tgt_tight, \
+                poses = textures
             R = o.shape[0]
             closest = jnp.full((R,), INF, jnp.float32)
             normal = jnp.zeros((R, 3), jnp.float32)
@@ -534,7 +567,8 @@ class Renderer:
             color = jnp.where(hit[:, None], gc, color)
             roughness = jnp.where(hit, 0.0, roughness)
 
-            # primitives: sphere trace <=200 steps (reference :231-259)
+            # primitives: sphere trace <=200 steps (reference :231-259),
+            # started at the bounding-sphere entry (identical hits)
             if prim_flag and len(scene.primitives) > 0:
                 def cond(c):
                     j, dist, sdf_val, sdf_id, active = c
@@ -551,11 +585,12 @@ class Renderer:
                     return j + 1, dist, sdf_val, sdf_id, active
 
                 j0 = jnp.zeros((), jnp.int32)
-                dist = jnp.zeros((R,), jnp.float32)
+                dist = prim_bound_entry(poses, o, d)
                 sdf_val = jnp.full((R,), INF, jnp.float32)
                 sdf_id = jnp.zeros((R,), jnp.int32)
                 _, dist, sdf_val, sdf_id, _ = jax.lax.while_loop(
-                    cond, body, (j0, dist, sdf_val, sdf_id, alive)
+                    cond, body,
+                    (j0, dist, sdf_val, sdf_id, alive & (dist < DIST_LIMIT))
                 )
                 hit = alive & (dist < closest) & (dist < DIST_LIMIT)
                 pn, pc = prim_normal_color(poses, sdf_id, o + dist[:, None] * d)
@@ -566,17 +601,14 @@ class Renderer:
 
             # plasticine SDF march (reference :263-289), gather-optimized
             if shape_flag:
-                isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
+                lo_w, hi_w = tight_world(bbox, sdf_tight)
+                isect, tnear, tfar = _ray_aabb(lo_w, hi_w, o, d)
                 isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
                 t0 = tnear + 1e-4
-                hitm, thit, _, _ = _march_packed(
-                    sdf_pack, cd_flat, res, cd_res, bbox,
-                    self.sdf_threshold, h_fine, self.dx, o, d, t0, tfar,
-                    isect)
-                tstar = _refine_packed(sdf_pack, res, bbox,
-                                       self.sdf_threshold, h_fine, o, d,
-                                       hitm, thit)
+                hitm, tstar = _march_compacted(
+                    sdf_pack, res, bbox, self.sdf_threshold, h_fine,
+                    self.dx, o, d, t0, tfar, isect, refine=True)
                 pos = o + d * tstar[:, None]
                 hit = hitm & (tstar < closest)
                 closest = jnp.where(hit, tstar, closest)
@@ -590,15 +622,13 @@ class Renderer:
             # 64^3 target texture (threshold 0, fixed 1-voxel steps)
             if target_flag:
                 isect, tnear, tfar = _ray_aabb(
-                    unit_bbox[0], unit_bbox[1], o, d)
+                    tgt_tight[0] / tres_f, tgt_tight[1] / tres_f, o, d)
                 isect = isect & alive
                 tnear = jnp.maximum(tnear, 0.0)
                 t0 = tnear + 1e-4
-                hitt, thit, _, _ = _march_packed(
-                    tgt_pack, tgt_cd, tres, tgt_cd_res, unit_bbox,
-                    0.0, h_ghost, h_ghost, o, d, t0, tfar, isect)
-                tstar = _refine_packed(tgt_pack, tres, unit_bbox, 0.0,
-                                       h_ghost, o, d, hitt, thit)
+                hitt, tstar = _march_compacted(
+                    tgt_pack, tres, unit_bbox, 0.0, h_ghost, h_ghost,
+                    o, d, t0, tfar, isect, refine=True)
                 pos = o + d * tstar[:, None]
                 hit = hitt & (tstar < closest)
                 closest = jnp.where(hit, tstar, closest)
@@ -616,8 +646,8 @@ class Renderer:
             """Anything (same geometry as next_hit) within DIST_LIMIT along
             d? Occlusion-only march: no bisection, no normals, no colors —
             the shadow test (reference :398-400) needs just the boolean."""
-            sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses = \
-                textures
+            sdf_pack, sdf_tight, col_pack, bbox, tgt_pack, tgt_tight, \
+                poses = textures
             R = o.shape[0]
             occ = jnp.zeros((R,), bool)
 
@@ -639,28 +669,29 @@ class Renderer:
                     return j + 1, dist, active
 
                 j0 = jnp.zeros((), jnp.int32)
-                dist = jnp.zeros((R,), jnp.float32)
+                dist = prim_bound_entry(poses, o, d)
                 _, dist, _ = jax.lax.while_loop(
-                    cond, body, (j0, dist, alive & ~occ))
+                    cond, body,
+                    (j0, dist, alive & ~occ & (dist < DIST_LIMIT)))
                 occ = occ | (alive & (dist < DIST_LIMIT))
 
             if shape_flag:
-                isect, tnear, tfar = _ray_aabb(bbox[0], bbox[1], o, d)
+                lo_w, hi_w = tight_world(bbox, sdf_tight)
+                isect, tnear, tfar = _ray_aabb(lo_w, hi_w, o, d)
                 tnear = jnp.maximum(tnear, 0.0)
-                hitm, _, _, _ = _march_packed(
-                    sdf_pack, cd_flat, res, cd_res, bbox,
-                    self.sdf_threshold, h_fine, self.dx, o, d, tnear + 1e-4,
-                    tfar, isect & alive & ~occ)
+                hitm, _ = _march_compacted(
+                    sdf_pack, res, bbox, self.sdf_threshold, h_fine,
+                    self.dx, o, d, tnear + 1e-4, tfar,
+                    isect & alive & ~occ)
                 occ = occ | hitm
 
             if target_flag:
                 isect, tnear, tfar = _ray_aabb(
-                    unit_bbox[0], unit_bbox[1], o, d)
+                    tgt_tight[0] / tres_f, tgt_tight[1] / tres_f, o, d)
                 tnear = jnp.maximum(tnear, 0.0)
-                hitt, _, _, _ = _march_packed(
-                    tgt_pack, tgt_cd, tres, tgt_cd_res, unit_bbox, 0.0,
-                    h_ghost, h_ghost, o, d, tnear + 1e-4, tfar,
-                    isect & alive & ~occ)
+                hitt, _ = _march_compacted(
+                    tgt_pack, tres, unit_bbox, 0.0, h_ghost, h_ghost,
+                    o, d, tnear + 1e-4, tfar, isect & alive & ~occ)
                 occ = occ | hitt
 
             return occ
@@ -748,15 +779,24 @@ class Renderer:
                 out = throughput * sky_color(d)
             return out
 
-        def render_sample(textures, key):
+        def render_pass(textures, key, S):
+            """Trace S full-image samples in ONE flat (S*W*H)-lane pass.
+
+            The march is launch-bound, not gather-bound (the sequential
+            while_loop steps dominate; each step's VPU work is far below
+            saturation at W*H lanes), so batching samples into wider lanes
+            divides the number of sequential steps per frame by ~S."""
             k1, k2, k3 = jax.random.split(key, 3)
-            uu = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
-            vv = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
-            ux = uu.astype(jnp.float32) + jax.random.uniform(k1, (W, H), jnp.float32)
-            vx = vv.astype(jnp.float32) + jax.random.uniform(k2, (W, H), jnp.float32)
+            uu = jax.lax.broadcasted_iota(jnp.int32, (S, W, H), 1)
+            vv = jax.lax.broadcasted_iota(jnp.int32, (S, W, H), 2)
+            ux = uu.astype(jnp.float32) + jax.random.uniform(
+                k1, (S, W, H), jnp.float32)
+            vx = vv.astype(jnp.float32) + jax.random.uniform(
+                k2, (S, W, H), jnp.float32)
             dx_ = 2 * FOV * ux / H - FOV * self.aspect_ratio - 1e-5
             dy_ = 2 * FOV * vx / H - FOV - 1e-5
-            d = jnp.stack([dx_, dy_, -jnp.ones((W, H), jnp.float32)], axis=-1)
+            d = jnp.stack([dx_, dy_, -jnp.ones((S, W, H), jnp.float32)],
+                          axis=-1)
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             r0, r1 = self.camera_rot
             rot_y = np.array(
@@ -767,18 +807,18 @@ class Renderer:
             )
             mat = jnp.asarray(rot_y @ rot_x, jnp.float32)
             d = d @ mat.T
-            # full-width trace: on TPU each gather op has a large fixed
-            # cost, so one wide march beats many small tiles
-            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (W * H, 3))
-            return trace(textures, o, d.reshape(-1, 3), k3).reshape(W, H, 3)
+            o = jnp.broadcast_to(jnp.asarray(self.camera_pos), (S * W * H, 3))
+            out = trace(textures, o, d.reshape(-1, 3), k3)
+            return jnp.sum(out.reshape(S, W, H, 3), axis=0)
 
-        def render_many(textures, key, n):
+        def render_many(textures, key, n, S):
             def body(i, acc):
-                return acc + render_sample(textures, jax.random.fold_in(key, i))
+                return acc + render_pass(textures, jax.random.fold_in(key, i),
+                                         S)
             return jax.lax.fori_loop(
-                0, n, body, jnp.zeros((W, H, 3), jnp.float32))
+                0, n // S, body, jnp.zeros((W, H, 3), jnp.float32))
 
-        return jax.jit(render_many, static_argnums=(2,))
+        return jax.jit(render_many, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     def _prepare_textures(self, x, colors, prim_pos, prim_rot, prim_gap):
@@ -798,29 +838,38 @@ class Renderer:
             jnp.asarray(x), jnp.asarray(colors, jnp.int32),
             jnp.asarray(lower, jnp.float32)
         )
-        sdf_pack, col_pack, cd_flat = self._pack_main(sdf_flat, col_flat)
-        tgt_pack, tgt_cd = self._pack_target(self.target_density)
+        sdf_pack, sdf_tight, col_pack = self._pack_main(sdf_flat, col_flat)
+        tgt_pack, tgt_tight = self._pack_target(self.target_density)
         poses = (
             jnp.asarray(prim_pos, jnp.float32),
             jnp.asarray(prim_rot, jnp.float32),
             jnp.asarray(prim_gap, jnp.float32),
         )
-        return (sdf_pack, col_pack, cd_flat, bbox, tgt_pack, tgt_cd, poses)
+        return (sdf_pack, sdf_tight, col_pack, bbox, tgt_pack, tgt_tight,
+                poses)
+
+    def _pack9(self, t3, threshold):
+        """((N, 9) bf16 rows: 8 edge-clamped trilinear corners + the cell's
+        Chebyshev distance-to-surface; (2, 3) tight near-set bounds in voxel
+        units — see _cell_distance_field / _near_bounds)."""
+        pack = _pack_corners(t3)
+        dist, near = _cell_distance_field(t3, threshold)
+        lo, hi = _near_bounds(near)
+        return jnp.concatenate(
+            [pack, dist.reshape(-1, 1).astype(jnp.bfloat16)], axis=-1), \
+            jnp.stack([lo, hi])
 
     def _pack_main_impl(self, sdf_flat, col_flat):
         res = self.voxel_res
         sdf3 = sdf_flat.reshape(res)
-        sdf_pack = _pack_corners(sdf3)
+        sdf_pack, sdf_tight = self._pack9(sdf3, self.sdf_threshold)
         col_pack = jnp.stack(
             [_pack_corners(col_flat[:, c].reshape(res)) for c in range(3)],
             axis=-1)
-        cd = _coarse_skip_field(sdf3, self.sdf_threshold)
-        return sdf_pack, col_pack, cd.reshape(-1)
+        return sdf_pack, sdf_tight, col_pack
 
     def _pack_target_impl(self, tgt3):
-        tgt_pack = _pack_corners(tgt3)
-        tgt_cd = _coarse_skip_field(tgt3, 0.0)
-        return tgt_pack, tgt_cd.reshape(-1)
+        return self._pack9(tgt3, 0.0)
 
     def probe_rays(self, x, colors, prim_pos, prim_rot, prim_gap, o, d,
                    **kwargs):
@@ -857,14 +906,25 @@ class Renderer:
         n_ghost = (spp // 2) if visualize_target else 0
         n_plain = spp - n_ghost
         buf = np.zeros((W, H, 3), np.float32)
+        # samples-per-pass batching measured SLOWER at 512^2 on the v5e (the
+        # march is worst-lane-bound: wider passes run more while_loop rounds,
+        # 29.0 vs 24.6 s/frame at S=5) but wins for SMALL frames (64^2 visual
+        # obs: lanes are cheap, launches dominate) — default to one sample
+        # per pass for big frames, batched for small ones
+        default_lanes = W * H if W * H >= 256 * 256 else 262_144
+        max_lanes = int(os.environ.get("PLB_RENDER_MAX_LANES", default_lanes))
         for tflag, n in ((False, n_plain), (True, n_ghost)):
             if n == 0:
                 continue
+            # samples per pass: largest divisor of n whose flattened ray
+            # count stays under the lane cap (one compile per (flags, S))
+            S = max(s for s in range(1, n + 1)
+                    if n % s == 0 and s * W * H <= max_lanes)
             fkey = (shape_flag, prim_flag, tflag)
             if fkey not in self._render_many:
                 self._render_many[fkey] = self._build_render_many(*fkey)
             self._key, sub = jax.random.split(self._key)
-            buf += np.asarray(self._render_many[fkey](textures, sub, n))
+            buf += np.asarray(self._render_many[fkey](textures, sub, n, S))
 
         # tone map (reference copy :414-426)
         u = (np.arange(W, dtype=np.float32)[:, None] / W) - self.vignette_center[0]

@@ -113,3 +113,53 @@ def test_probe_plasticine_march():
     # one voxel before the frontmost particle and the blob's far side
     assert 2.0 - zmax - 3 * r.dx < closest[0] < 2.0 - x[:, 2].min() + 3 * r.dx
     assert normal[0, 2] > 0.3  # outward-ish toward the ray
+
+
+def test_compacted_march_equals_packed():
+    """_march_compacted (chunked actives-first processing) must reproduce
+    _march_packed exactly — same hits, same distances."""
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.engine.renderer import renderer as R
+
+    scene = _tiny_scene()
+    r = Renderer(scene)
+    rng = np.random.default_rng(0)
+    # dense 7^3 blob (as in _probe_setup) so the smoothed SDF reliably dips
+    # below threshold
+    g = np.linspace(0.27, 0.33, 7)
+    x = np.stack(np.meshgrid(g, g - 0.15, g, indexing="ij"),
+                 axis=-1).reshape(-1, 3).astype(np.float32)
+    colors = np.full(len(x), (127 << 16) + 127, np.int32)
+    tex = r._prepare_textures(x, colors,
+                              np.array([[0.5, 0.4, 0.5]], np.float32),
+                              np.array([[1.0, 0, 0, 0]], np.float32),
+                              np.zeros(1, np.float32))
+    sdf_pack, _, _, bbox, _, _, _ = tex
+
+    n = 256
+    o = jnp.asarray(np.stack([
+        rng.random(n) * 0.1 + 0.25,
+        rng.random(n) * 0.1 + 0.10,
+        np.full(n, 2.0, np.float32)], -1), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    isect, tnear, tfar = R._ray_aabb(bbox[0], bbox[1], o, d)
+    t0 = jnp.maximum(tnear, 0.0) + 1e-4
+    active = isect & (jnp.arange(n) % 3 != 0)  # mix of inactive lanes
+
+    res = r.voxel_res
+    args = (sdf_pack, res, bbox, r.sdf_threshold, 0.01, r.dx,
+            o, d, t0, tfar, active)
+    hit_a, t_a = R._march_packed(*args)
+    hit_b, t_b = R._march_compacted(*args, chunk=64)
+    np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+    np.testing.assert_allclose(np.asarray(t_a)[np.asarray(hit_a)],
+                               np.asarray(t_b)[np.asarray(hit_b)], rtol=1e-6)
+    assert int(np.sum(hit_a)) > 0  # some rays must actually hit
+
+    # refine variant agrees with march + full-width refine
+    t_ref = R._refine_packed(sdf_pack, res, bbox, r.sdf_threshold, 0.01,
+                             o, d, hit_a, t_a)
+    _, t_c = R._march_compacted(*args, chunk=64, refine=True)
+    np.testing.assert_allclose(np.asarray(t_ref)[np.asarray(hit_a)],
+                               np.asarray(t_c)[np.asarray(hit_a)], rtol=1e-6)
