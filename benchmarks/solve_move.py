@@ -5,7 +5,11 @@ steps, lr 0.1 — plb/optimizer/solver.py:21-61 + solve.py:50-51) on the
 attached device and prints one JSON line: total seconds, per-iteration
 seconds, final/best loss, final IoU.
 
-Usage: python benchmarks/solve_move.py [n_iters]
+The solve loop itself runs fully on device (Solver.solve_device: jitted
+lax.scan chunks of value_and_grad + Adam + best-tracking); pass host=1 as the
+second arg for the reference-style host loop (numpy Adam each iteration).
+
+Usage: python benchmarks/solve_move.py [n_iters] [host]
 """
 import json
 import os
@@ -18,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(n_iters=200):
+def main(n_iters=200, host=0):
     from plasticinelab_tpu.envs import make
     from plasticinelab_tpu.optimizer.solver import Solver
 
@@ -38,7 +42,13 @@ def main(n_iters=200):
         iter_times.append(slf.last_iter_seconds)
 
     t0 = time.perf_counter()
-    best_action = solver.solve(callbacks=(cb,))
+    if host:
+        best_action = solver.solve(callbacks=(cb,))
+    else:
+        chunk = 10
+        best_action = solver.solve_device(chunk=chunk)
+        # per-iteration cost = chunk wallclock / chunk (the host only sees
+        # chunk boundaries); recover it from the total after the first chunk
     total = time.perf_counter() - t0
 
     # replay best actions for the final IoU (reference solver.py:98-101,
@@ -49,7 +59,13 @@ def main(n_iters=200):
         _, _, _, _, info = env.step(act)
         last_iou = info["incremental_iou"]
 
-    steady = float(np.median(iter_times[2:])) if len(iter_times) > 3 else None
+    if host:
+        steady = float(np.median(iter_times[2:])) if len(iter_times) > 3 else None
+        first = round(iter_times[0], 3) if iter_times else None
+    else:
+        cs = solver.chunk_seconds
+        steady = float(np.median(cs[1:])) / chunk if len(cs) > 1 else None
+        first = round(cs[0], 3) if cs else None
     print(json.dumps({
         "metric": "move_v1_solve_wallclock",
         "value": round(total, 2),
@@ -57,7 +73,8 @@ def main(n_iters=200):
         "vs_baseline": None,
         "extra": {
             "n_iters": n_iters,
-            "first_iter_s": round(iter_times[0], 3) if iter_times else None,
+            "loop": "host" if host else "device",
+            "first_iter_s" if host else "first_chunk_s": first,
             "steady_iter_s": round(steady, 4) if steady else None,
             "best_loss": round(float(solver.best_loss), 3),
             "final_incremental_iou": round(last_iou, 4),

@@ -122,6 +122,147 @@ class Solver:
         self.best_loss = best_loss
         return best_action
 
+    # ------------------------------------------------------------------
+    # fully device-resident solve loop (no reference counterpart; the
+    # reference reads grads back to host and steps numpy Adam every
+    # iteration, plb/optimizer/solver.py:31-44 + optim.py:49-78)
+    # ------------------------------------------------------------------
+    def solve_device(self, init_actions=None, chunk: int = 10,
+                     checkpoint_dir: Optional[str] = None):
+        """Run the whole optimization on device: value_and_grad + Adam (or
+        Momentum) + bounds clip + best-so-far tracking inside one jitted
+        lax.scan over `chunk` iterations per dispatch. The host only fetches
+        per-iteration losses between chunks (for logging/checkpointing), so
+        steady-state cost is the device gradient alone — the ~0.3 s/iter
+        host Adam + transfer gap of the host loop disappears.
+
+        Update rule matches optim.py bit-for-bit in f32 (the host path runs
+        f64; the action matrix is (horizon, action_dim) and the solve is
+        gradient-noise-dominated, so the f32 moments are immaterial — see
+        tests/test_solver.py::test_device_solver_matches_host).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine import mpm
+        from ..engine import losses as losses_mod
+        from ..utils import checkpoint as ckpt
+
+        env = self.env
+        cfg, ocfg = self.cfg, self.optim_cfg
+        assert ocfg.type in ("Adam", "Momentum"), ocfg.type
+        if init_actions is None:
+            init_actions = self.init_actions(env, cfg)
+
+        scene, mats = env.scene, env.mats
+        dtype = env.dtype
+        loss_state = env.loss_state
+        softness = dtype(cfg.softness)
+        env_state = env.get_state()
+        state0 = env.state  # SimState PyTree at the solve's start
+
+        def rollout_loss(actions):
+            rscene = mpm.resolve_remat(scene, int(actions.shape[0]))
+
+            def step_fn(carry, action):
+                st, gm, off = mpm.env_step_with_grid_m(
+                    rscene, mats, carry, action, softness)
+                info = losses_mod.loss_from_crop(
+                    rscene, loss_state, gm, off, st)
+                return st, info["loss"]
+
+            if rscene.simulator.remat in ("env_step", "both"):
+                step_fn = jax.checkpoint(step_fn)
+            _, losses = jax.lax.scan(step_fn, state0, actions)
+            return jnp.sum(losses)
+
+        lr = dtype(ocfg.lr)
+        b1, b2, eps = dtype(ocfg.beta_1), dtype(ocfg.beta_2), dtype(ocfg.epsilon)
+        mom = dtype(ocfg.momentum)
+        lo, hi = ocfg.bounds
+
+        def iter_fn(carry, _):
+            actions, m, v, it, best_loss, best_actions = carry
+            loss, grad = jax.value_and_grad(rollout_loss)(actions)
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_actions = jnp.where(better, actions, best_actions)
+            if ocfg.type == "Adam":
+                m = b1 * m + (1 - b1) * grad
+                v = b2 * v + (1 - b2) * grad * grad
+                m_cap = m / (1 - b1 ** (it + 1))
+                v_cap = v / (1 - b2 ** (it + 1))
+                upd = lr * m_cap / (jnp.sqrt(v_cap) + eps)
+            else:  # Momentum (optim.py:33-46)
+                m = m * mom + grad * (1 - mom)
+                upd = lr * m
+            actions = jnp.clip(actions - upd, lo, hi)
+            return (actions, m, v, it + 1, best_loss, best_actions), loss
+
+        @jax.jit
+        def run_chunk(carry):
+            return jax.lax.scan(iter_fn, carry, None, length=chunk)
+
+        actions = jnp.asarray(init_actions, dtype)
+        m = jnp.zeros_like(actions)
+        v = jnp.zeros_like(actions)
+        it0 = jnp.zeros((), dtype)
+        best_loss = jnp.asarray(1e10, dtype)
+        best_actions = actions
+
+        start_iter = 0
+        if checkpoint_dir:
+            path = ckpt.latest(checkpoint_dir)
+            if path:
+                st = ckpt.load(path)
+                start_iter = st["iter"]
+                actions = jnp.asarray(st["parameters"], dtype)
+                m = jnp.asarray(st["optim_state"]["momentum_buffer"], dtype)
+                v = jnp.asarray(st["optim_state"]["v_buffer"], dtype)
+                it0 = jnp.asarray(float(start_iter), dtype)
+                best_loss = jnp.asarray(st["best_loss"], dtype)
+                best_actions = jnp.asarray(st["best_action"], dtype)
+                print(f"[solver] resumed from {path} at iter {start_iter}")
+
+        carry = (actions, m, v, it0, best_loss, best_actions)
+        self.iter_losses = []
+        self.chunk_seconds = []
+        n_chunks = (cfg.n_iters - start_iter + chunk - 1) // chunk
+        done = start_iter
+        import time as _time
+        for c in range(n_chunks):
+            n = min(chunk, cfg.n_iters - done)
+            if n < chunk:  # tail chunk: recompile once at the smaller length
+                @jax.jit
+                def run_chunk(carry, n=n):
+                    return jax.lax.scan(iter_fn, carry, None, length=n)
+            t0 = _time.perf_counter()
+            carry, losses = run_chunk(carry)
+            jax.block_until_ready(losses)
+            self.chunk_seconds.append(_time.perf_counter() - t0)
+            self.iter_losses.extend(np.asarray(losses, np.float64).tolist())
+            done += n
+            if self.logger is not None:
+                for L in self.iter_losses[-n:]:
+                    self.logger.step(None, None, -L, None, True, {"loss": L})
+            if checkpoint_dir:
+                ckpt.save(
+                    os.path.join(checkpoint_dir, f"ckpt_{done}.pkl"),
+                    {"iter": done,
+                     "parameters": np.asarray(carry[0], np.float64),
+                     "optim_state": {
+                         "momentum_buffer": np.asarray(carry[1], np.float64),
+                         "v_buffer": np.asarray(carry[2], np.float64),
+                         "iter": done, "momentum": float(mom)},
+                     "best_action": np.asarray(carry[5], np.float64),
+                     "best_loss": float(carry[4])},
+                )
+
+        env.set_state(**env_state)
+        self.best_loss = float(carry[4])
+        self.total_steps = (cfg.n_iters - start_iter) * cfg.horizon
+        return np.asarray(carry[5], np.float64)
+
     @staticmethod
     def init_actions(env: PhysicsEnv, cfg: SolverConfig):
         action_dim = env.scene.action_dim
