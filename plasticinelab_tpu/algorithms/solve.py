@@ -46,6 +46,10 @@ def get_args(argv=None):
     parser.add_argument("--softness", type=float, default=666.0)
     parser.add_argument("--optim", type=str, default="Adam",
                         choices=["Adam", "Momentum"])
+    parser.add_argument("--host_loop", action="store_true",
+                        help="run the action solve with the reference-style "
+                             "host loop (numpy optimizer each iteration) "
+                             "instead of the device-resident scan chunks")
     return parser.parse_args(argv)
 
 

@@ -169,12 +169,15 @@ class Solver:
                     rscene, mats, carry, action, softness)
                 info = losses_mod.loss_from_crop(
                     rscene, loss_state, gm, off, st)
-                return st, info["loss"]
+                comps = jnp.stack([info["loss"], info["sdf_loss"],
+                                   info["density_loss"], info["contact_loss"]])
+                return st, comps
 
             if rscene.simulator.remat in ("env_step", "both"):
                 step_fn = jax.checkpoint(step_fn)
-            _, losses = jax.lax.scan(step_fn, state0, actions)
-            return jnp.sum(losses)
+            _, comps = jax.lax.scan(step_fn, state0, actions)
+            comps = jnp.sum(comps, axis=0)
+            return comps[0], comps
 
         lr = dtype(ocfg.lr)
         b1, b2, eps = dtype(ocfg.beta_1), dtype(ocfg.beta_2), dtype(ocfg.epsilon)
@@ -183,7 +186,8 @@ class Solver:
 
         def iter_fn(carry, _):
             actions, m, v, it, best_loss, best_actions = carry
-            loss, grad = jax.value_and_grad(rollout_loss)(actions)
+            (loss, comps), grad = jax.value_and_grad(
+                rollout_loss, has_aux=True)(actions)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best_actions = jnp.where(better, actions, best_actions)
@@ -197,7 +201,7 @@ class Solver:
                 m = m * mom + grad * (1 - mom)
                 upd = lr * m
             actions = jnp.clip(actions - upd, lo, hi)
-            return (actions, m, v, it + 1, best_loss, best_actions), loss
+            return (actions, m, v, it + 1, best_loss, best_actions), comps
 
         @jax.jit
         def run_chunk(carry):
@@ -237,14 +241,20 @@ class Solver:
                 def run_chunk(carry, n=n):
                     return jax.lax.scan(iter_fn, carry, None, length=n)
             t0 = _time.perf_counter()
-            carry, losses = run_chunk(carry)
-            jax.block_until_ready(losses)
+            carry, comps = run_chunk(carry)
+            jax.block_until_ready(comps)
             self.chunk_seconds.append(_time.perf_counter() - t0)
-            self.iter_losses.extend(np.asarray(losses, np.float64).tolist())
+            comps = np.asarray(comps, np.float64)  # (n, 4)
+            self.iter_losses.extend(comps[:, 0].tolist())
             done += n
             if self.logger is not None:
-                for L in self.iter_losses[-n:]:
-                    self.logger.step(None, None, -L, None, True, {"loss": L})
+                # one logger episode per iteration, like the host loop
+                # (iou is not computed inside the device scan -> 0.0)
+                for L, S, D, C in comps:
+                    self.logger.reset()
+                    self.logger.step(None, None, -L, None, True, {
+                        "loss": L, "sdf_loss": S, "density_loss": D,
+                        "contact_loss": C, "incremental_iou": 0.0})
             if checkpoint_dir:
                 ckpt.save(
                     os.path.join(checkpoint_dir, f"ckpt_{done}.pkl"),
@@ -285,7 +295,10 @@ def solve_action(env, path, logger, args):
         n_iters=(args.num_steps + T - 1) // T, softness=args.softness, horizon=T,
         **{"optim.lr": args.lr, "optim.type": args.optim, "init_range": 0.0001},
     )
-    action = solver.solve()
+    if getattr(args, "host_loop", False):
+        action = solver.solve()
+    else:
+        action = solver.solve_device()
 
     try:
         import cv2

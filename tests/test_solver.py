@@ -79,3 +79,24 @@ def test_device_solver_checkpoint_resume(env):
     np.testing.assert_allclose(second.iter_losses, full_losses[3:],
                                rtol=1e-5)
     np.testing.assert_allclose(best, full_best, atol=1e-6)
+
+
+def test_device_solver_nn_matches_host(env):
+    from plasticinelab_tpu.engine.nn import MLPPolicy
+    from plasticinelab_tpu.optimizer.solver_nn import SolverNN
+
+    env.nn = MLPPolicy(env.scene, hidden_dims=(16, 16),
+                       n_observed_particles=20)
+    env.nn_params = None
+    host = SolverNN(env, None, None, n_iters=3, horizon=2,
+                    **{"optim.lr": 50.0})  # x0.001 internally
+    host_losses = []
+    host.solve(callbacks=((lambda s, o, l, g: host_losses.append(l)),))
+
+    env.nn_params = None
+    dev = SolverNN(env, None, None, n_iters=3, horizon=2,
+                   **{"optim.lr": 50.0})
+    dev.solve_device(chunk=2)
+
+    np.testing.assert_allclose(dev.iter_losses, host_losses, rtol=2e-4)
+    np.testing.assert_allclose(dev.best_loss, host.best_loss, rtol=2e-4)
