@@ -69,9 +69,10 @@ class SAC:
 
     # ---- acting ----
     def _explore_impl(self, params, obs, key):
+        key, sub = jax.random.split(key)
         mean, log_std = self.policy_def.apply(params, obs)
-        action, _ = GaussianPolicy.sample(mean, log_std, key)
-        return action
+        action, _ = GaussianPolicy.sample(mean, log_std, sub)
+        return action, key
 
     def _exploit_impl(self, params, obs):
         mean, _ = self.policy_def.apply(params, obs)
@@ -83,9 +84,11 @@ class SAC:
         return state[None]
 
     def explore(self, state: np.ndarray) -> np.ndarray:
-        self._key, sub = jax.random.split(self._key)
-        return np.asarray(
-            self._explore(self.state.policy, self._prep(state), sub))[0]
+        # The key split lives inside the jit — one dispatch, no host-side
+        # split round-trip per action.
+        action, self._key = self._explore(
+            self.state.policy, self._prep(state), self._key)
+        return np.asarray(action)[0]
 
     def exploit(self, state: np.ndarray) -> np.ndarray:
         return np.asarray(self._exploit(self.state.policy, self._prep(state)))[0]
@@ -93,7 +96,7 @@ class SAC:
     # ---- learning ----
     def _update_impl(self, ts: SACState, batch, key):
         state, action, next_state, reward, not_done = batch
-        k1, k2 = jax.random.split(key)
+        key, k1, k2 = jax.random.split(key, 3)
         alpha = jnp.exp(ts.log_alpha)
 
         mean, log_std = self.policy_def.apply(ts.policy, next_state)
@@ -135,14 +138,16 @@ class SAC:
         return SACState(
             policy=policy, policy_opt=popt, q=q, q_target=q_target, q_opt=qopt,
             log_alpha=log_alpha, alpha_opt=aopt,
-        ), qloss
+        ), qloss, key
 
     def update(self, replay_buffer: ReplayBuffer, batch_size=256, rng=None):
         rng = rng or np.random.default_rng(0)
         batch = replay_buffer.sample(batch_size, rng)
-        self._key, sub = jax.random.split(self._key)
-        self.state, loss = self._update(self.state, batch, sub)
-        return float(loss)
+        self.state, loss, self._key = self._update(
+            self.state, batch, self._key)
+        # Device scalar — float() it at the logging site; fetching here would
+        # block the host on every update step.
+        return loss
 
     def save_models(self, path):
         import pickle, os

@@ -369,6 +369,12 @@ class Renderer:
         self.vignette_center = (0.5, 0.5)
         self.target_density_color = (0.1, 0.3, 0.9)
 
+        # Packed-distance scale per voxel. The reference bakes
+        # 255*0.2*dist_in_voxels at dx=1/150 (renderer.py:100-131); scaling
+        # with dx keeps the PHYSICAL saturation distance (5/150 of the box)
+        # invariant when a caller coarsens the voxel grid (render_obs).
+        self.dist_scale = 0.2 * self.dx * 150.0
+
         self.target_density = jnp.zeros(self.target_res, jnp.float32)
         self._voxelize = jax.jit(self._voxelize_impl)
         self._pack_main = jax.jit(self._pack_main_impl)
@@ -394,7 +400,17 @@ class Renderer:
              for j in range(-size - 1, size + 1)
              for k in range(-size - 1, size + 1)], np.int32,
         )  # (M, 3) — matches the reference's ndrange(-size-1, size+1)
-        CH = 98  # offsets per scan step
+        # Exact-saturation cull: a particle lies at coord + r, r in [0,1)^3,
+        # so the packed distance written at voxel coord+o is >= the distance
+        # from o to the unit cube — once that exceeds the saturation radius
+        # 1/dist_scale the write is always 255<<24 and cannot change the sdf
+        # (it could only tint cells the march never shades). Dropping those
+        # offsets cuts the scatter volume ~3.5x at the reference bake_size=6.
+        sat = 1.0 / self.dist_scale
+        cube_d = np.linalg.norm(
+            offs - np.clip(offs, 0.0, 1.0), axis=1)
+        offs = offs[cube_d <= sat]
+        CH = 128  # offsets per scan step (lane-aligned)
         M = offs.shape[0]
         pad = (-M) % CH
         offs = np.pad(offs, ((0, pad), (0, 0)))
@@ -413,7 +429,7 @@ class Renderer:
             dist = jnp.linalg.norm(
                 idx.astype(jnp.float32) - p[:, None, :], axis=-1
             )
-            dist = jnp.clip(255.0 * 0.2 * dist, 0.0, 255.0)
+            dist = jnp.clip(255.0 * self.dist_scale * dist, 0.0, 255.0)
             packed = (
                 (dist.astype(jnp.uint32) << 24) + color[:, None].astype(jnp.uint32)
             )
