@@ -38,6 +38,7 @@ def main(num_steps=1500, env_name="Move-v1"):
     steps = 0
     t_start = time.perf_counter()
     t_steady = None
+    ep_log = os.environ.get("PLB_VISRL_EPLOG")
     while steps < num_steps:
         obs, _ = env.reset()
         done = False
@@ -61,6 +62,13 @@ def main(num_steps=1500, env_name="Move-v1"):
                     t_steady = (time.perf_counter(), steps)
                 algo.update(replay, batch, rng)
         ep_rewards.append(ep_r / max(t, 1))
+        if ep_log:
+            with open(ep_log, "a") as f:
+                f.write(json.dumps({
+                    "episode": len(ep_rewards), "steps": steps,
+                    "mean_step_reward": round(ep_rewards[-1], 5),
+                    "wall_s": round(time.perf_counter() - t_start, 1),
+                }) + "\n")
 
     total = time.perf_counter() - t_start
     steady_sps = ((steps - t_steady[1]) / (time.perf_counter() - t_steady[0])

@@ -99,7 +99,8 @@ class DDPG:
         rng = rng or np.random.default_rng(0)
         batch = replay_buffer.sample(batch_size, rng)
         self.state, loss = self._update(self.state, batch)
-        return float(loss)
+        # Device scalar — float() at the logging site, not per update step.
+        return loss
 
     # model save/load (reference DDPG.py save/load)
     def save(self, filename):

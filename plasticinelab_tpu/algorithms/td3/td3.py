@@ -119,7 +119,8 @@ class TD3:
         batch = replay_buffer.sample(batch_size, rng)
         self._key, sub = jax.random.split(self._key)
         self.state, loss = self._update(self.state, batch, sub)
-        return float(loss)
+        # Device scalar — float() at the logging site, not per update step.
+        return loss
 
     # model save/load (reference TD3.py:152-159)
     def save(self, filename):

@@ -79,3 +79,21 @@ def test_action_clipping(env):
     env.reset()
     obs_b, *_ = env.step(np.asarray([1.0, 0.0, 0.0]))
     np.testing.assert_allclose(obs_a, obs_b, atol=1e-7)
+
+
+def test_fused_step_loss_matches_dense(env):
+    """PhysicsEnv.step's fused crop loss (losses.loss_from_crop fed by
+    mpm.env_step_with_grid_m) must agree with the standalone dense-transfer
+    loss (losses.loss_and_components) recomputed at the same state."""
+    te = env.unwrapped.taichi_env
+    env.reset()
+    te.step(np.asarray([0.4, -0.2, 0.1]))
+    assert te._pending_loss is not None
+    fused = {k: float(v) for k, v in te._pending_loss.items()}
+    dense = {k: float(v) for k, v in te._loss_fn(te.state).items()}
+    for k in ("loss", "density_loss", "sdf_loss", "contact_loss", "iou"):
+        np.testing.assert_allclose(fused[k], dense[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    # compute_loss consumes the fused result exactly once
+    te.compute_loss()
+    assert te._pending_loss is None
