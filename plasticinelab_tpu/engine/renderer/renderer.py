@@ -29,6 +29,14 @@ from .. import primitives as prim_mod
 
 DIFFUSE, SPECULAR = 0, 1
 FOV = 0.23
+
+
+def _use_pallas_voxelize() -> bool:
+    """Gather-kernel voxelizer on TPU f32 (PLB_PALLAS_VOXELIZE=0 opts out);
+    the scatter-min path everywhere else (CPU tests, x64)."""
+    if os.environ.get("PLB_PALLAS_VOXELIZE", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
 DIST_LIMIT = 100.0
 INF = 1e10
 EXPOSURE = 1.5
@@ -386,13 +394,33 @@ class Renderer:
     # voxelization (reference build_sdf_from_particles :100-131)
     # ------------------------------------------------------------------
     def _voxelize_impl(self, x, color, bbox0):
-        n = x.shape[0]
+        res = self.voxel_res
+        p = (x - bbox0) * self.inv_dx  # voxel coords
+        volume = self._packed_volume(p, color)
+        sdf = ((volume >> 24) & 255).astype(jnp.float32) / 255.0
+        col = jnp.stack(
+            [((volume >> 16) & 255), ((volume >> 8) & 255), (volume & 255)],
+            axis=-1,
+        ).astype(jnp.float32) / 255.0
+        sdf = sdf.reshape(res)
+        sdf = _smooth27(_smooth27(sdf))
+        return sdf.reshape(-1), col.reshape(-1, 3)
+
+    def _packed_volume(self, p, color):
+        """(res^3,) uint32 min-packed (dist << 24 | color) volume; Pallas
+        gather kernel on TPU, scatter-min elsewhere."""
+        if _use_pallas_voxelize():
+            from .pallas_voxelize import voxelize_packed
+
+            return voxelize_packed(p, color, self.voxel_res, self.dist_scale)
+        return self._scatter_packed(p, color)
+
+    def _scatter_packed(self, p, color):
+        n = p.shape[0]
         res = self.voxel_res
         size = self.bake_size
         total = res[0] * res[1] * res[2]
         volume = jnp.full((total,), jnp.uint32(0xFFFFFFFF))
-
-        p = (x - bbox0) * self.inv_dx  # voxel coords
         coord = p.astype(jnp.int32)
         offs = np.array(
             [(i, j, k)
@@ -439,15 +467,7 @@ class Renderer:
             return vol.at[flat.reshape(-1)].min(packed.reshape(-1)), None
 
         volume, _ = jax.lax.scan(body, volume, (offs_chunks, valid_chunks))
-
-        sdf = ((volume >> 24) & 255).astype(jnp.float32) / 255.0
-        col = jnp.stack(
-            [((volume >> 16) & 255), ((volume >> 8) & 255), (volume & 255)],
-            axis=-1,
-        ).astype(jnp.float32) / 255.0
-        sdf = sdf.reshape(res)
-        sdf = _smooth27(_smooth27(sdf))
-        return sdf.reshape(-1), col.reshape(-1, 3)
+        return volume
 
     # ------------------------------------------------------------------
     def set_target_density(self, target_density: Optional[np.ndarray]):
