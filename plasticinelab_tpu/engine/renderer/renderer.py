@@ -387,6 +387,7 @@ class Renderer:
         self._voxelize = jax.jit(self._voxelize_impl)
         self._pack_main = jax.jit(self._pack_main_impl)
         self._pack_target = jax.jit(self._pack_target_impl)
+        self._tgt_packed = None  # filled by set_target_density / first frame
         self._render_many = {}  # keyed by (shape, primitive, target) flags
         self._key = jax.random.PRNGKey(0)
 
@@ -477,6 +478,9 @@ class Renderer:
         else:
             raw = jnp.asarray(target_density, jnp.float32).reshape(self.target_res)
             self.target_density = _smooth27(3.0 - raw)
+        # The goal texture is static per scene — pack it once here, not per
+        # frame (it cost ~30 ms/frame regardless of image resolution).
+        self._tgt_packed = self._pack_target(self.target_density)
 
     # ------------------------------------------------------------------
     # per-sample render
@@ -875,7 +879,9 @@ class Renderer:
             jnp.asarray(lower, jnp.float32)
         )
         sdf_pack, sdf_tight, col_pack = self._pack_main(sdf_flat, col_flat)
-        tgt_pack, tgt_tight = self._pack_target(self.target_density)
+        if getattr(self, "_tgt_packed", None) is None:
+            self._tgt_packed = self._pack_target(self.target_density)
+        tgt_pack, tgt_tight = self._tgt_packed
         poses = (
             jnp.asarray(prim_pos, jnp.float32),
             jnp.asarray(prim_rot, jnp.float32),
