@@ -118,6 +118,20 @@ class VisualGaussianPolicy(nn.Module):
     sample = GaussianPolicy.sample
 
 
+class VisualActor(nn.Module):
+    """ConvEncoder + deterministic tanh head on image obs (visual-RL
+    extension for TD3 — BASELINE configs[3])."""
+
+    action_dim: int
+    max_action: float = 1.0
+
+    @nn.compact
+    def __call__(self, img):
+        f = ConvEncoder()(img)
+        return Actor(action_dim=self.action_dim,
+                     max_action=self.max_action, hidden=(256,))(f)
+
+
 class VisualTwinQ(nn.Module):
     """ConvEncoder + twin Q heads on image obs (own encoder — standard
     practice: critic gradients shape the representation)."""

@@ -35,6 +35,20 @@ class ActorCritic(nn.Module):
         return mean, log_std, value
 
 
+class VisualActorCritic(nn.Module):
+    """ConvEncoder torso + the state ActorCritic heads on (H, W, C) image
+    obs in [0, 1] (visual-RL extension — BASELINE configs[3])."""
+
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, img):
+        from ..common import ConvEncoder
+
+        f = ConvEncoder()(img)
+        return ActorCritic(action_dim=self.action_dim)(f)
+
+
 def gaussian_logp(mean, log_std, action):
     var = jnp.exp(2 * log_std)
     return (
@@ -60,10 +74,18 @@ class PPO:
         self.num_mini_batch = num_mini_batch
         self.value_loss_coef = value_loss_coef
         self.entropy_coef = entropy_coef
-        self.net = ActorCritic(action_dim=action_dim)
+        # state_dim: int (reference parity) or (H, W, C) image shape — conv
+        # torso on [0,1]-scaled frames (BASELINE configs[3]).
+        self.visual = isinstance(state_dim, (tuple, list))
+        if self.visual:
+            self.net = VisualActorCritic(action_dim=action_dim)
+            obs0 = jnp.zeros((1,) + tuple(state_dim))
+        else:
+            self.net = ActorCritic(action_dim=action_dim)
+            obs0 = jnp.zeros((1, state_dim))
         key = jax.random.PRNGKey(seed)
         k, self._key = jax.random.split(key)
-        params = self.net.init(k, jnp.zeros((1, state_dim)))
+        params = self.net.init(k, obs0)
         self.base_lr = lr
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),

@@ -161,9 +161,12 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
     clip_obs, clip_rew = 10.0, 10.0
 
     os.makedirs(path, exist_ok=True)
-    obs_dim = env.observation_space.shape[0]
+    obs_shape = env.observation_space.shape
+    visual = len(obs_shape) == 3  # rgb obs_mode (BASELINE configs[3])
+    obs_dim = obs_shape if visual else obs_shape[0]
     act_dim = env.action_space.shape[0]
     if algo == "acktr":
+        assert not visual, "rgb obs_mode is wired for --algo ppo"
         from .kfac import A2C_ACKTR
 
         agent = A2C_ACKTR(obs_dim, act_dim, seed=old_args.seed)
@@ -171,17 +174,21 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
         agent = PPO(obs_dim, act_dim, seed=old_args.seed)
     rng = np.random.default_rng(old_args.seed)
 
-    ob_rms = RunningMeanStd((obs_dim,))
+    # images use a fixed [0,1] scale instead of VecNormalize statistics
+    ob_rms = None if visual else RunningMeanStd((obs_dim,))
     ret_rms = RunningMeanStd(())
     ret_acc = 0.0
 
     def norm_obs(o):
+        if visual:
+            return (o.astype(np.float32) / 255.0)
         return np.clip(
             (o - ob_rms.mean) / np.sqrt(ob_rms.var + 1e-8), -clip_obs, clip_obs
         ).astype(np.float32)
 
     raw_obs = _reset(env)
-    ob_rms.update(raw_obs)
+    if ob_rms is not None:
+        ob_rms.update(raw_obs)
     obs = norm_obs(raw_obs)
     episode_t = 0
     num_updates = max(num_env_steps // rollout_len, 1)
@@ -203,7 +210,8 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
                             term or trunc or episode_t >= env._max_episode_steps,
                             info)
 
-            ob_rms.update(raw_next)
+            if ob_rms is not None:
+                ob_rms.update(raw_next)
             ret_acc = ret_acc * gamma + reward
             ret_rms.update(np.array([ret_acc]))
             norm_rew = np.clip(
@@ -222,7 +230,8 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
 
             if done:
                 raw_next = _reset(env)
-                ob_rms.update(raw_next)
+                if ob_rms is not None:
+                    ob_rms.update(raw_next)
                 episode_t = 0
                 ret_acc = 0.0
                 if logger is not None:

@@ -53,7 +53,9 @@ def train_td3(env, path, logger, old_args):
     batch_size = 256
 
     os.makedirs(path, exist_ok=True)
-    state_dim = env.observation_space.shape[0]
+    obs_shape = env.observation_space.shape
+    visual = len(obs_shape) == 3  # rgb obs_mode (BASELINE configs[3])
+    state_dim = obs_shape if visual else obs_shape[0]
     action_dim = env.action_space.shape[0]
     max_action = float(env.action_space.high[0])
 
@@ -66,9 +68,11 @@ def train_td3(env, path, logger, old_args):
             noise_clip=0.5 * max_action, policy_freq=2, seed=old_args.seed,
         )
     elif which == "OurDDPG":
+        assert not visual, "rgb obs_mode is wired for --policy TD3"
         policy = DDPG(state_dim, action_dim, max_action=max_action,
                       discount=0.99, tau=0.005, seed=old_args.seed)
     elif which == "DDPG":
+        assert not visual, "rgb obs_mode is wired for --policy TD3"
         policy = OriginalDDPG(state_dim, action_dim, max_action=max_action,
                               discount=0.99, seed=old_args.seed)
     else:
@@ -77,7 +81,12 @@ def train_td3(env, path, logger, old_args):
     if vec > 1:
         return train_td3_vec(policy, old_args, path, batch=vec)
 
-    replay_buffer = ReplayBuffer(state_dim, action_dim)
+    if visual:
+        from ..common import ImageReplayBuffer
+
+        replay_buffer = ImageReplayBuffer(obs_shape, action_dim, 100_000)
+    else:
+        replay_buffer = ReplayBuffer(state_dim, action_dim)
     rng = np.random.default_rng(old_args.seed)
 
     state, done = _reset(env), False

@@ -39,11 +39,22 @@ class TD3:
         self.noise_clip = noise_clip
         self.policy_freq = policy_freq
 
-        self.actor_def = Actor(action_dim=action_dim, max_action=max_action)
-        self.critic_def = TwinQ()
+        # state_dim: int (reference parity) or (H, W, C) image shape —
+        # conv torsos + uint8 [0,255] -> [0,1] scaling (BASELINE configs[3]).
+        self.visual = isinstance(state_dim, (tuple, list))
+        if self.visual:
+            from ..common import VisualActor, VisualTwinQ
+
+            self.actor_def = VisualActor(action_dim=action_dim,
+                                         max_action=max_action)
+            self.critic_def = VisualTwinQ()
+            obs = jnp.zeros((1,) + tuple(state_dim))
+        else:
+            self.actor_def = Actor(action_dim=action_dim, max_action=max_action)
+            self.critic_def = TwinQ()
+            obs = jnp.zeros((1, state_dim))
         key = jax.random.PRNGKey(seed)
         k1, k2, self._key = jax.random.split(key, 3)
-        obs = jnp.zeros((1, state_dim))
         act = jnp.zeros((1, action_dim))
         actor_params = self.actor_def.init(k1, obs)
         critic_params = self.critic_def.init(k2, obs, act)
@@ -62,6 +73,8 @@ class TD3:
         self._update = jax.jit(self._update_impl)
 
     def select_action(self, state: np.ndarray) -> np.ndarray:
+        if self.visual:
+            state = state.astype(np.float32) / 255.0
         return np.asarray(self._select(self.state.actor, state[None]))[0]
 
     # ------------------------------------------------------------------

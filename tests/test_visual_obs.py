@@ -73,3 +73,60 @@ def test_visual_sac_update(rgb_env):
     assert a.shape == (act_dim,) and np.all(np.abs(a) <= 1.0)
     loss = algo.update(buf, batch_size=4, rng=rng)
     assert np.isfinite(loss)
+
+def test_visual_td3_update(rgb_env):
+    from plasticinelab_tpu.algorithms.common import ImageReplayBuffer
+    from plasticinelab_tpu.algorithms.td3.td3 import TD3
+
+    act_dim = rgb_env.action_space.shape[0]
+    algo = TD3(state_dim=(RES, RES, 3), action_dim=act_dim, max_action=1.0,
+               seed=0)
+    rng = np.random.default_rng(0)
+    buf = ImageReplayBuffer((RES, RES, 3), act_dim, max_size=64)
+    obs, _ = rgb_env.reset()
+    for _ in range(4):
+        a = rng.uniform(-1, 1, act_dim).astype(np.float32)
+        nobs, r, *_ = rgb_env.step(a)
+        buf.add(obs, a, nobs, r, 0.0)
+        obs = nobs
+
+    a = algo.select_action(obs)
+    assert a.shape == (act_dim,) and np.all(np.abs(a) <= 1.0)
+    loss = algo.train(buf, batch_size=4, rng=rng)
+    assert np.isfinite(float(loss))
+
+
+def test_visual_ppo_update(rgb_env):
+    from plasticinelab_tpu.algorithms.ppo.ppo import PPO
+
+    act_dim = rgb_env.action_space.shape[0]
+    agent = PPO(state_dim=(RES, RES, 3), action_dim=act_dim,
+                num_mini_batch=2, ppo_epoch=2, seed=0)
+    rng = np.random.default_rng(0)
+    obs, _ = rgb_env.reset()
+    T = 6
+    b_obs, b_act, b_logp, b_val, b_rew = [], [], [], [], []
+    o = obs.astype(np.float32) / 255.0
+    for _ in range(T):
+        a, logp, v = agent.act(o)
+        nobs, r, *_ = rgb_env.step(np.clip(a, -1, 1))
+        b_obs.append(o); b_act.append(a); b_logp.append(logp); b_val.append(v)
+        b_rew.append(r)
+        o = nobs.astype(np.float32) / 255.0
+    last_v = agent.get_value(o)
+    vals = np.asarray(b_val + [last_v])
+    rets = np.zeros(T)
+    gae = 0.0
+    for t in reversed(range(T)):
+        delta = b_rew[t] + 0.99 * vals[t + 1] - vals[t]
+        gae = delta + 0.99 * 0.95 * gae
+        rets[t] = gae + vals[t]
+    rollouts = {
+        "obs": np.asarray(b_obs, np.float32),
+        "actions": np.asarray(b_act, np.float32),
+        "logp": np.asarray(b_logp, np.float32),
+        "returns": rets.astype(np.float32),
+        "values": vals[:T].astype(np.float32),
+    }
+    loss = agent.update(rollouts, rng)
+    assert np.isfinite(loss)
