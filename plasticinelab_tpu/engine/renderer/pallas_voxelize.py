@@ -67,17 +67,27 @@ def _plan(cells, n, NBx, NBy, P, NC, Cx, Cy, Lx, Ly, margin):
 
 
 def _kernel(offs_ref, rows_ref, col_ref, out_ref, *, Lx, Ly, scale):
-    zb, i = pl.program_id(0), pl.program_id(1)
-    Czb, P = out_ref.shape[2], rows_ref.shape[1]
+    yb, zb, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    BY, Czb = out_ref.shape[1], out_ref.shape[2]
+    P = rows_ref.shape[1]
     f32 = jnp.float32
 
     @pl.when(i == 0)
     def _init():
         out_ref[...] = jnp.full_like(out_ref, _INIT)
 
-    @pl.when(offs_ref[i, 2] > 0)
+    oy_true = offs_ref[i, 1]
+    y0 = yb * BY
+    hit_y = jnp.logical_and(oy_true + Ly > y0, oy_true < y0 + BY)
+
+    @pl.when(jnp.logical_and(offs_ref[i, 2] > 0, hit_y))
     def _work():
-        ox, oy = offs_ref[i, 0], offs_ref[i, 1]
+        ox = offs_ref[i, 0]
+        # Clamp the y window inside this y-block. A window straddling the
+        # block edge is covered by its clamped copies in BOTH blocks (BY >=
+        # 2*Ly); the extra rows a clamped window picks up receive their true
+        # packed values, and min-accumulation makes redundancy harmless.
+        oy = jnp.clip(oy_true, y0, y0 + BY - Ly)
         px = rows_ref[0:1, :]
         py = rows_ref[1:2, :]
         pz = rows_ref[2:3, :]
@@ -89,6 +99,7 @@ def _kernel(offs_ref, rows_ref, col_ref, out_ref, *, Lx, Ly, scale):
         vy = oy.astype(f32) + jax.lax.broadcasted_iota(f32, (Ly, P), 0)
         ay2 = (vy - py) ** 2                       # (Ly, P)
         qcol = col | jnp.int32(0)                  # (1, P) int32
+        oy_l = oy - y0                             # block-local window row
 
         def row(ix, _):
             vx = (ox + ix).astype(f32)
@@ -98,8 +109,8 @@ def _kernel(offs_ref, rows_ref, col_ref, out_ref, *, Lx, Ly, scale):
             q = jnp.minimum(d * (255.0 * scale), 255.0).astype(jnp.int32)
             packed = ((q << 24) | qcol[None, :, :]) ^ _SIGN
             red = jnp.min(packed, axis=-1)         # (Ly, Czb)
-            cur = out_ref[pl.ds(ox + ix, 1), pl.ds(oy, Ly), :]
-            out_ref[pl.ds(ox + ix, 1), pl.ds(oy, Ly), :] = jnp.minimum(
+            cur = out_ref[pl.ds(ox + ix, 1), pl.ds(oy_l, Ly), :]
+            out_ref[pl.ds(ox + ix, 1), pl.ds(oy_l, Ly), :] = jnp.minimum(
                 cur, red[None])
             return 0
 
@@ -120,6 +131,14 @@ def voxelize_packed(x_vox, colors, res, dist_scale, P=256,
     n = x_vox.shape[0]
     margin = int(np.floor(1.0 / dist_scale + np.sqrt(3.0))) + 1
     Lx = Ly = -(-(_BLK + 2 * margin) // 8) * 8
+    # y-block the resident volume under ~6 MB of VMEM (~16 MB/core); BY >=
+    # 2*Ly guarantees a straddling window is covered by its clamped copies
+    if Cx * Cy * _LANES * 4 <= 6 * 2**20:
+        BY = -(-Cy // 8) * 8
+    else:
+        BY = max(64, 2 * Ly)
+    Cyp = -(-Cy // BY) * BY
+    YB = Cyp // BY
     NBx, NBy = -(-Cx // _BLK), -(-Cy // _BLK)
     NC = NBx * NBy + -(-n // P)
 
@@ -139,19 +158,21 @@ def voxelize_packed(x_vox, colors, res, dist_scale, P=256,
 
     vol = pl.pallas_call(
         functools.partial(_kernel, Lx=Lx, Ly=Ly, scale=float(dist_scale)),
-        grid=(ZB, NC),
+        grid=(YB, ZB, NC),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, P), lambda zb, i: (0, i),
+            pl.BlockSpec((3, P), lambda yb, zb, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda zb, i: (0, i),
+            pl.BlockSpec((1, P), lambda yb, zb, i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Cx, Cy, _LANES), lambda zb, i: (0, 0, zb),
+        out_specs=pl.BlockSpec((Cx, BY, _LANES), lambda yb, zb, i: (0, yb, zb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Cx, Cy, Czp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Cx, Cyp, Czp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(offs, rows, cols)
 
     vol = jax.lax.bitcast_convert_type(vol ^ _SIGN, jnp.uint32)
-    return vol[:, :, :Cz].reshape(-1)
+    return vol[:, :Cy, :Cz].reshape(-1)

@@ -410,7 +410,7 @@ class Renderer:
     def _packed_volume(self, p, color):
         """(res^3,) uint32 min-packed (dist << 24 | color) volume; Pallas
         gather kernel on TPU, scatter-min elsewhere."""
-        if _use_pallas_voxelize():
+        if _use_pallas_voxelize() and min(self.voxel_res) >= 32:
             from .pallas_voxelize import voxelize_packed
 
             return voxelize_packed(p, color, self.voxel_res, self.dist_scale)

@@ -73,3 +73,20 @@ def test_coarse_scale():
     p = rng.uniform(5.0, 35.0, (150, 3)).astype(np.float32)
     colors = rng.integers(0, 1 << 24, 150).astype(np.int32)
     _compare(p, colors, res, 0.4)
+
+
+def test_y_blocked_volume():
+    """A volume big enough to force y-blocking (BY < Cy), with particles
+    placed right on the y-block boundaries so clamped window copies must
+    cover the straddle."""
+    rng = np.random.default_rng(4)
+    res = (128, 160, 40)  # 128*160*128*4B > 6 MB -> BY=64, YB=3
+    ys = np.concatenate([
+        rng.uniform(60.0, 68.0, 40),     # straddling y=64
+        rng.uniform(124.0, 132.0, 40),   # straddling y=128
+        rng.uniform(8.0, 150.0, 60),
+    ])
+    p = np.stack([rng.uniform(8.0, 120.0, len(ys)), ys,
+                  rng.uniform(6.0, 34.0, len(ys))], -1).astype(np.float32)
+    colors = rng.integers(0, 1 << 24, len(ys)).astype(np.int32)
+    _compare(p, colors, res, 0.2, P=32)
