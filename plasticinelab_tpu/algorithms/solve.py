@@ -43,6 +43,10 @@ def get_args(argv=None):
                         choices=["state", "rgb"],
                         help="rgb = rendered 64x64 image observations "
                              "(visual-RL extension, BASELINE configs[3])")
+    parser.add_argument("--image_obs_res", type=int, default=64,
+                        help="rgb observation resolution")
+    parser.add_argument("--image_obs_spp", type=int, default=2,
+                        help="rgb observation samples per pixel")
     parser.add_argument("--softness", type=float, default=666.0)
     parser.add_argument("--optim", type=str, default="Adam",
                         choices=["Adam", "Momentum"])
@@ -69,6 +73,8 @@ def main(argv=None):
         density_loss=args.density_loss, contact_loss=args.contact_loss,
         soft_contact_loss=args.soft_contact_loss,
         obs_mode=getattr(args, "obs_mode", "state"),
+        image_obs_res=getattr(args, "image_obs_res", 64),
+        image_obs_spp=getattr(args, "image_obs_spp", 2),
     )
     env.unwrapped.seed(args.seed)
 
