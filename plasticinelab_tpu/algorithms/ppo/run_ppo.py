@@ -156,7 +156,8 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
     num_env_steps = old_args.num_steps
     # ACKTR updates on short rollouts (reference a2c_acktr.py semantics);
     # PPO keeps the reference's 2500-step rollouts (run_ppo.py:45-46).
-    rollout_len = 2500 if algo == "ppo" else 200
+    rollout_len = int(getattr(old_args, "rollout_len",
+                              2500 if algo == "ppo" else 200))
     gamma, gae_lambda = 0.99, 0.95
     clip_obs, clip_rew = 10.0, 10.0
 
@@ -277,6 +278,7 @@ def train_ppo(env, path, logger, old_args, algo="ppo"):
                   else agent.state.params)
         pickle.dump(
             {"params": jax.device_get(params),
-             "ob_rms": (ob_rms.mean, ob_rms.var)}, f,
+             "ob_rms": (None if ob_rms is None
+                        else (ob_rms.mean, ob_rms.var))}, f,
         )
     return agent

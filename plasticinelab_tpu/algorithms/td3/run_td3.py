@@ -46,7 +46,7 @@ def _step(env, action):
 
 
 def train_td3(env, path, logger, old_args):
-    start_timesteps = 2500
+    start_timesteps = int(getattr(old_args, "start_timesteps", 2500))
     eval_freq = 200  # episodes
     max_timesteps = old_args.num_steps
     expl_noise = 0.1

@@ -130,3 +130,24 @@ def test_visual_ppo_update(rgb_env):
     }
     loss = agent.update(rollouts, rng)
     assert np.isfinite(loss)
+
+
+def test_visual_train_loops_end_to_end(rgb_env, tmp_path):
+    """run_td3 / run_ppo consume the rgb env end to end (wiring: image
+    replay buffer, obs scaling, conv agents) on a tiny budget."""
+    from types import SimpleNamespace
+
+    from plasticinelab_tpu.algorithms.td3.run_td3 import train_td3
+    from plasticinelab_tpu.algorithms.ppo.run_ppo import train_ppo
+
+    class _NullLogger:
+        def reset(self):
+            pass
+
+        def step(self, *a, **k):
+            pass
+
+    args = SimpleNamespace(num_steps=8, seed=0, policy="TD3", vec_envs=0,
+                           start_timesteps=4, rollout_len=4)
+    train_td3(rgb_env, str(tmp_path / "td3"), _NullLogger(), args)
+    train_ppo(rgb_env, str(tmp_path / "ppo"), _NullLogger(), args)
