@@ -93,10 +93,14 @@ def _kernel(offs_ref, rows_ref, col_ref, out_ref, *, Lx, Ly, scale):
         pz = rows_ref[2:3, :]
         col = col_ref[0:1, :]
 
+        # Mosaic iota must be integer-typed (f32 iota fails verification on
+        # the real chip); build int32 lanes then cast.
         z0 = (zb * Czb).astype(f32)
-        vz = z0 + jax.lax.broadcasted_iota(f32, (Czb, P), 0)
+        vz = z0 + jax.lax.broadcasted_iota(
+            jnp.int32, (Czb, P), 0).astype(f32)
         az2 = (vz - pz) ** 2                       # (Czb, P)
-        vy = oy.astype(f32) + jax.lax.broadcasted_iota(f32, (Ly, P), 0)
+        vy = oy.astype(f32) + jax.lax.broadcasted_iota(
+            jnp.int32, (Ly, P), 0).astype(f32)
         ay2 = (vy - py) ** 2                       # (Ly, P)
         qcol = col | jnp.int32(0)                  # (1, P) int32
         oy_l = oy - y0                             # block-local window row
