@@ -44,6 +44,26 @@ LIGHT_DIRECTION_NOISE = 0.03
 LIGHT_COLOR = (1.0, 1.0, 1.0)
 
 
+def obs_scene(scene: SceneSpec, res: int, spp: int) -> SceneSpec:
+    """Scene spec scaled for small observation frames (visual RL).
+
+    Half-resolution voxel grid with the same physical coverage
+    (84 * 2dx = 168 * dx) and the same physical splat radius (bake
+    3 * 2dx = 6 * dx); dist_scale is tied to dx so the packed saturation
+    distance is physical too. Voxelize work drops ~8x — it dominates
+    per-frame cost at 64^2 where the march is cheap."""
+    import dataclasses
+
+    rcfg = scene.renderer
+    return dataclasses.replace(
+        scene,
+        renderer=dataclasses.replace(
+            rcfg, image_res=(res, res), spp=spp,
+            voxel_res=tuple(max(v // 2, 1) for v in rcfg.voxel_res),
+            dx=rcfg.dx * 2.0,
+            bake_size=max(rcfg.bake_size // 2, 1)))
+
+
 # ---------------------------------------------------------------------------
 # texture sampling (reference sample_tex :137-155 — deliberately replicates
 # its uncentered trilinear indexing)
@@ -738,7 +758,8 @@ class Renderer:
 
         return next_hit, occluded
 
-    def _build_render_many(self, shape_flag, prim_flag, target_flag):
+    def _build_render_many(self, shape_flag, prim_flag, target_flag,
+                           jit=True):
         W, H = self.image_res
         next_hit, occluded = self._build_tracer(shape_flag, prim_flag,
                                                 target_flag)
@@ -858,6 +879,8 @@ class Renderer:
             return jax.lax.fori_loop(
                 0, n // S, body, jnp.zeros((W, H, 3), jnp.float32))
 
+        if not jit:
+            return render_many
         return jax.jit(render_many, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
@@ -889,6 +912,62 @@ class Renderer:
         )
         return (sdf_pack, sdf_tight, col_pack, bbox, tgt_pack, tgt_tight,
                 poses)
+
+    def _prepare_textures_jnp(self, x, colors, prim_pos, prim_rot, prim_gap):
+        """Traced twin of _prepare_textures for the in-graph observation
+        path: the frame bbox is computed with jnp (no host round trip, no
+        fits-the-volume assert — the obs voxel grid keeps the main grid's
+        physical coverage, so the host path's assert holds by construction).
+        Safe under jit and vmap; the target textures are closure constants
+        (set_target_density / build_obs_fn precomputes them)."""
+        x = jnp.asarray(x, jnp.float32)
+        lower = (jnp.floor(jnp.min(x, axis=0) * self.inv_dx) - 6.0) * self.dx
+        upper = lower + jnp.asarray(self.voxel_res, jnp.float32) * self.dx
+        bbox = jnp.stack([lower, upper])
+        sdf_flat, col_flat = self._voxelize_impl(
+            x, jnp.asarray(colors, jnp.int32), lower)
+        sdf_pack, sdf_tight, col_pack = self._pack_main_impl(
+            sdf_flat, col_flat)
+        tgt_pack, tgt_tight = self._tgt_packed
+        poses = (
+            jnp.asarray(prim_pos, jnp.float32),
+            jnp.asarray(prim_rot, jnp.float32),
+            jnp.asarray(prim_gap, jnp.float32),
+        )
+        return (sdf_pack, sdf_tight, col_pack, bbox, tgt_pack, tgt_tight,
+                poses)
+
+    def build_obs_fn(self, spp=None):
+        """Fully-traceable low-res observation render for visual RL
+        (BASELINE configs[3]): returns
+        f(x, colors, prim_pos, prim_rot, prim_gap, key) -> (H, W, 3) f32
+        in [0, ~1], jittable AND vmappable — batched envs render their
+        64x64 observations inside the stepping program (the Pallas
+        voxelizer batches via vmap's added grid axis). Same semantics as
+        render_frame with the goal ghost off and one S=spp lane-batched
+        pass (small frames are launch-bound; see render_frame notes)."""
+        if spp is None:
+            spp = self.spp
+        W, H = self.image_res
+        if self._tgt_packed is None:
+            self._tgt_packed = self._pack_target(self.target_density)
+        render_many = self._build_render_many(True, True, False, jit=False)
+        u = (np.arange(W, dtype=np.float32)[:, None] / W) \
+            - self.vignette_center[0]
+        v = (np.arange(H, dtype=np.float32)[None, :] / H) \
+            - self.vignette_center[1]
+        darken = 1.0 - self.vignette_strength * np.maximum(
+            np.sqrt(u ** 2 + v ** 2) - self.vignette_radius, 0)
+        darken = jnp.asarray(darken[..., None], jnp.float32)
+
+        def obs_fn(x, colors, prim_pos, prim_rot, prim_gap, key):
+            textures = self._prepare_textures_jnp(
+                x, colors, prim_pos, prim_rot, prim_gap)
+            buf = render_many(textures, key, spp, spp)
+            img = jnp.sqrt(buf * darken * EXPOSURE / spp)
+            return img[:, ::-1].transpose(1, 0, 2)
+
+        return obs_fn
 
     def _pack9(self, t3, threshold):
         """((N, 9) bf16 rows: 8 edge-clamped trilinear corners + the cell's

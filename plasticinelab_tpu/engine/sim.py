@@ -299,36 +299,37 @@ class PhysicsEnv:
         marcher as render(), dedicated small-res renderer instance; returns
         (res, res, 3) uint8. Cost at 64^2 x 2 spp is ~1/3000 of a full
         512^2 x 50 spp frame."""
-        import dataclasses
-
         from .renderer import Renderer
+        from .renderer.renderer import obs_scene
 
         if getattr(self, "_obs_renderer", None) is None \
                 or self._obs_renderer_key != (res, spp):
-            # Half-resolution voxel grid for small obs frames: same physical
-            # coverage (84 * 2dx = 168 * dx) and same physical splat radius
-            # (bake 3 * 2dx = 6 * dx); with dist_scale tied to dx the
-            # saturation distance is physical too. Voxelize work drops ~8x —
-            # it dominates per-frame cost at 64^2 where the march is cheap.
-            rcfg = self.scene.renderer
-            rscene = dataclasses.replace(
-                self.scene,
-                renderer=dataclasses.replace(
-                    rcfg, image_res=(res, res), spp=spp,
-                    voxel_res=tuple(max(v // 2, 1) for v in rcfg.voxel_res),
-                    dx=rcfg.dx * 2.0,
-                    bake_size=max(rcfg.bake_size // 2, 1)))
-            self._obs_renderer = Renderer(rscene)
+            self._obs_renderer = Renderer(obs_scene(self.scene, res, spp))
             self._obs_renderer_key = (res, spp)
+            self._obs_fn = None
             if self.loss_state is not None:
                 self._obs_renderer.set_target_density(
                     self.target_density / self.scene.simulator.p_mass)
-        img = self._obs_renderer.render_frame(
-            np.asarray(self.state.x), self.particle_colors,
-            np.asarray(self.state.prim_pos), np.asarray(self.state.prim_rot),
-            np.asarray(self.state.prim_gap), **kwargs,
-        )
-        return np.uint8(np.clip(img, 0, 1) * 255)
+        if kwargs:
+            # non-default flag set (e.g. target ghost on): host render path
+            img = self._obs_renderer.render_frame(
+                np.asarray(self.state.x), self.particle_colors,
+                np.asarray(self.state.prim_pos),
+                np.asarray(self.state.prim_rot),
+                np.asarray(self.state.prim_gap), **kwargs,
+            )
+            return np.uint8(np.clip(img, 0, 1) * 255)
+        # default flags: one fully-jitted call (voxelize + march + tone map)
+        if getattr(self, "_obs_fn", None) is None:
+            self._obs_fn = jax.jit(self._obs_renderer.build_obs_fn())
+            self._obs_colors = jnp.asarray(self.particle_colors,
+                                           dtype=jnp.int32)
+            self._obs_key = jax.random.PRNGKey(0)
+        self._obs_key, sub = jax.random.split(self._obs_key)
+        img = self._obs_fn(self.state.x, self._obs_colors,
+                           self.state.prim_pos, self.state.prim_rot,
+                           self.state.prim_gap, sub)
+        return np.uint8(np.clip(np.asarray(img), 0, 1) * 255)
 
 
 # Alias for users porting from the reference
