@@ -1,0 +1,107 @@
+"""Batched visual-observation RL drive: SAC on rendered 64x64 uint8
+observations from B vectorized on-device envs (BASELINE configs[3] at batch
+scale). Every env's frame renders INSIDE the batched stepping program
+(vmapped voxelize + march); the learner updates once per collected
+transition batch. Prints one JSON line.
+
+Usage: python benchmarks/visual_vec_drive.py [num_steps] [env_name] [batch]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(num_steps=4000, env_name="Move-v1", batch=16):
+    from plasticinelab_tpu.algorithms.common import ImageReplayBuffer
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+    from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
+
+    res, spp = 64, 2
+    venv = VecPlasticineEnv(env_name, batch=batch, seed=0, obs_mode="rgb",
+                            image_obs_res=res, image_obs_spp=spp)
+    algo = SAC(state_dim=venv.obs_shape, action_dim=venv.action_dim,
+               gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
+               target_update_coef=0.005, seed=0)
+    replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+    rng = np.random.default_rng(0)
+
+    start_steps = max(num_steps // 5, 2 * batch)
+    horizon = venv.horizon
+    sac_batch = 64
+
+    ep_rewards = []  # per-episode mean step reward, averaged over the batch
+    steps = 0
+    t_start = time.perf_counter()
+    t_steady = None
+    ep_log = os.environ.get("PLB_VISRL_EPLOG")
+    obs = np.asarray(venv.reset())
+    ep_t = 0
+    ep_r = np.zeros(batch)
+    while steps < num_steps:
+        if steps < start_steps:
+            actions = rng.uniform(
+                -1, 1, (batch, venv.action_dim)).astype(np.float32)
+        else:
+            actions = algo.explore_batch(obs)
+        nobs, reward, done, _ = venv.step(actions)
+        nobs, reward = np.asarray(nobs), np.asarray(reward)
+        ep_t += 1
+        ep_r += reward
+        for b in range(batch):
+            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        obs = nobs
+        steps += batch
+        if steps >= start_steps:
+            if t_steady is None:
+                t_steady = (time.perf_counter(), steps)
+            algo.update(replay, sac_batch, rng)
+        if ep_t >= horizon:
+            ep_rewards.append(float(np.mean(ep_r)) / ep_t)
+            if ep_log:
+                with open(ep_log, "a") as f:
+                    f.write(json.dumps({
+                        "episode_batch": len(ep_rewards), "steps": steps,
+                        "mean_step_reward": round(ep_rewards[-1], 5),
+                        "wall_s": round(time.perf_counter() - t_start, 1),
+                    }) + "\n")
+            obs = np.asarray(venv.reset())
+            ep_t = 0
+            ep_r = np.zeros(batch)
+
+    total = time.perf_counter() - t_start
+    steady_sps = ((steps - t_steady[1]) / (time.perf_counter() - t_steady[0])
+                  if t_steady and steps > t_steady[1] else None)
+    k = max(len(ep_rewards) // 4, 1)
+    first_q = float(np.mean(ep_rewards[:k])) if ep_rewards else None
+    last_q = float(np.mean(ep_rewards[-k:])) if ep_rewards else None
+    print(json.dumps({
+        "metric": "visual_sac_vec_steps_per_sec",
+        "value": round(steps / total, 3),
+        "unit": f"env steps/s (SAC, rgb {res}x{res} obs, {env_name}, "
+                f"B={batch} vectorized explore+render+update)",
+        "vs_baseline": None,
+        "extra": {
+            "num_steps": steps,
+            "wallclock_s": round(total, 1),
+            "steady_steps_per_sec": (round(steady_sps, 3)
+                                     if steady_sps else None),
+            "episode_batches": len(ep_rewards),
+            "mean_reward_first_quarter": (round(first_q, 4)
+                                          if first_q is not None else None),
+            "mean_reward_last_quarter": (round(last_q, 4)
+                                         if last_q is not None else None),
+            "reward_improved": (bool(last_q > first_q)
+                                if ep_rewards else None),
+            "batch": batch, "start_steps": start_steps,
+            "sac_update_batch": sac_batch,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main(*[(int(a) if a.isdigit() else a) for a in sys.argv[1:]])

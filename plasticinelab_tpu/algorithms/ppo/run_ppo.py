@@ -63,23 +63,34 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
 
     os.makedirs(path, exist_ok=True)
     if venv is None:
-        venv = VecPlasticineEnv(old_args.env_name, batch=batch,
-                                seed=old_args.seed, horizon=horizon)
+        venv = VecPlasticineEnv(
+            old_args.env_name, batch=batch, seed=old_args.seed,
+            horizon=horizon,
+            obs_mode=getattr(old_args, "obs_mode", "state"),
+            image_obs_res=getattr(old_args, "image_obs_res", 64),
+            image_obs_spp=getattr(old_args, "image_obs_spp", 2))
     batch, horizon = venv.batch, venv.horizon
-    agent = PPO(venv.obs_dim, venv.action_dim, seed=old_args.seed)
+    visual = venv.obs_mode == "rgb"
+    obs_sh = tuple(venv.obs_shape) if visual else (venv.obs_dim,)
+    agent = PPO(obs_sh if visual else venv.obs_dim, venv.action_dim,
+                seed=old_args.seed)
     rng = np.random.default_rng(old_args.seed)
 
-    ob_rms = RunningMeanStd((venv.obs_dim,))
+    # visual obs skip VecNormalize (parity with the single-env rgb path)
+    ob_rms = None if visual else RunningMeanStd((venv.obs_dim,))
     ret_rms = RunningMeanStd(())
     ret_acc = np.zeros(batch)
 
     def norm_obs(o):
+        if visual:
+            return o.astype(np.float32) / 255.0
         return np.clip(
             (o - ob_rms.mean) / np.sqrt(ob_rms.var + 1e-8), -clip_obs,
             clip_obs).astype(np.float32)
 
     raw = np.asarray(venv.reset())
-    ob_rms.update(raw)
+    if not visual:
+        ob_rms.update(raw)
     obs = norm_obs(raw)
     ep_t = 0
     steps_per_update = batch * rollout_len
@@ -89,7 +100,7 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
     for update in range(num_updates):
         agent.set_lr(agent.base_lr * (1 - update / num_updates))
         T, B = rollout_len, batch
-        b_obs = np.zeros((T, B, venv.obs_dim), np.float32)
+        b_obs = np.zeros((T, B) + obs_sh, np.float32)
         b_act = np.zeros((T, B, venv.action_dim), np.float32)
         b_logp = np.zeros((T, B), np.float32)
         b_val = np.zeros((T + 1, B), np.float64)
@@ -100,7 +111,8 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
             raw_next, reward, done, _ = venv.step(np.clip(actions, -1, 1))
             raw_next, reward = np.asarray(raw_next), np.asarray(reward)
             ep_t += 1
-            ob_rms.update(raw_next)
+            if not visual:
+                ob_rms.update(raw_next)
             ret_acc[:] = ret_acc * gamma + reward
             ret_rms.update(ret_acc)
             norm_rew = np.clip(
@@ -111,7 +123,8 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
             b_mask[t] = 0.0 if ep_t >= horizon else 1.0
             if ep_t >= horizon:
                 raw_next = np.asarray(venv.reset())
-                ob_rms.update(raw_next)
+                if not visual:
+                    ob_rms.update(raw_next)
                 ep_t = 0
                 ret_acc[:] = 0.0
             obs = norm_obs(raw_next)
@@ -127,7 +140,7 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
             returns[t] = gae + b_val[t]
 
         rollouts = {
-            "obs": b_obs.reshape(T * B, -1),
+            "obs": b_obs.reshape((T * B,) + obs_sh),
             "actions": b_act.reshape(T * B, -1),
             "logp": b_logp.reshape(T * B),
             "returns": returns.reshape(T * B).astype(np.float32),
@@ -145,14 +158,17 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
         import jax
 
         pickle.dump({"params": jax.device_get(agent.state.params),
-                     "ob_rms": (ob_rms.mean, ob_rms.var)}, f)
+                     "ob_rms": ((ob_rms.mean, ob_rms.var)
+                                if ob_rms is not None else None)}, f)
     return agent
 
 
 def train_ppo(env, path, logger, old_args, algo="ppo"):
     vec = int(getattr(old_args, "vec_envs", 0) or 0)
     if vec > 1 and algo == "ppo":
-        return train_ppo_vec(old_args, path, batch=vec)
+        return train_ppo_vec(
+            old_args, path, batch=vec,
+            rollout_len=int(getattr(old_args, "rollout_len", 256) or 256))
     num_env_steps = old_args.num_steps
     # ACKTR updates on short rollouts (reference a2c_acktr.py semantics);
     # PPO keeps the reference's 2500-step rollouts (run_ppo.py:45-46).

@@ -139,10 +139,18 @@ def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
     from ...parallel.rollout import VecPlasticineEnv
 
     if venv is None:
-        venv = VecPlasticineEnv(args.env_name, batch=batch, seed=args.seed,
-                                horizon=horizon)
+        venv = VecPlasticineEnv(
+            args.env_name, batch=batch, seed=args.seed, horizon=horizon,
+            obs_mode=getattr(args, "obs_mode", "state"),
+            image_obs_res=getattr(args, "image_obs_res", 64),
+            image_obs_spp=getattr(args, "image_obs_spp", 2))
     batch, horizon = venv.batch, venv.horizon
-    replay = ReplayBuffer(venv.obs_dim, venv.action_dim, 1000000)
+    if venv.obs_mode == "rgb":
+        from ..common import ImageReplayBuffer
+
+        replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+    else:
+        replay = ReplayBuffer(venv.obs_dim, venv.action_dim, 1000000)
     rng = np.random.default_rng(args.seed)
     model_dir = os.path.join(path, "model")
     os.makedirs(model_dir, exist_ok=True)
@@ -156,7 +164,7 @@ def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
             actions = rng.uniform(
                 -1, 1, (batch, venv.action_dim)).astype(np.float32)
         else:
-            actions = np.stack([algo.explore(o) for o in obs])
+            actions = algo.explore_batch(obs)
         nobs, reward, done, _ = venv.step(actions)
         nobs, reward = np.asarray(nobs), np.asarray(reward)
         ep_t += 1

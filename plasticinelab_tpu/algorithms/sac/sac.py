@@ -93,6 +93,15 @@ class SAC:
     def exploit(self, state: np.ndarray) -> np.ndarray:
         return np.asarray(self._exploit(self.state.policy, self._prep(state)))[0]
 
+    def explore_batch(self, states: np.ndarray) -> np.ndarray:
+        """Batched explore: one dispatch for a (B, ...) observation stack
+        (vectorized collection, run_sac.train_vec)."""
+        if self.visual:
+            states = np.asarray(states, np.float32) / 255.0
+        actions, self._key = self._explore(
+            self.state.policy, states, self._key)
+        return np.asarray(actions)
+
     # ---- learning ----
     def _update_impl(self, ts: SACState, batch, key):
         state, action, next_state, reward, not_done = batch

@@ -137,10 +137,19 @@ def train_td3_vec(policy, old_args, path, batch=8, horizon=50, venv=None,
     from ...parallel.rollout import VecPlasticineEnv
 
     if venv is None:
-        venv = VecPlasticineEnv(old_args.env_name, batch=batch,
-                                seed=old_args.seed, horizon=horizon)
+        venv = VecPlasticineEnv(
+            old_args.env_name, batch=batch, seed=old_args.seed,
+            horizon=horizon,
+            obs_mode=getattr(old_args, "obs_mode", "state"),
+            image_obs_res=getattr(old_args, "image_obs_res", 64),
+            image_obs_spp=getattr(old_args, "image_obs_spp", 2))
     batch, horizon = venv.batch, venv.horizon
-    replay = ReplayBuffer(venv.obs_dim, venv.action_dim)
+    if venv.obs_mode == "rgb":
+        from ..common import ImageReplayBuffer
+
+        replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+    else:
+        replay = ReplayBuffer(venv.obs_dim, venv.action_dim)
     rng = np.random.default_rng(old_args.seed)
     os.makedirs(path, exist_ok=True)
 
@@ -154,7 +163,7 @@ def train_td3_vec(policy, old_args, path, batch=8, horizon=50, venv=None,
             actions = rng.uniform(
                 -1, 1, (batch, venv.action_dim)).astype(np.float32)
         else:
-            acts = np.stack([policy.select_action(o) for o in obs])
+            acts = policy.select_action_batch(obs)
             actions = (
                 acts + rng.normal(0, expl_noise, acts.shape)
             ).clip(-1, 1).astype(np.float32)

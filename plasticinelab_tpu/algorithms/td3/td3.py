@@ -77,6 +77,12 @@ class TD3:
             state = state.astype(np.float32) / 255.0
         return np.asarray(self._select(self.state.actor, state[None]))[0]
 
+    def select_action_batch(self, states: np.ndarray) -> np.ndarray:
+        """One dispatch for a (B, ...) observation stack (vec collection)."""
+        if self.visual:
+            states = states.astype(np.float32) / 255.0
+        return np.asarray(self._select(self.state.actor, states))
+
     # ------------------------------------------------------------------
     def _update_impl(self, ts: TD3State, batch, key):
         state, action, next_state, reward, not_done = batch

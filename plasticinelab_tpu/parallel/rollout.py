@@ -63,13 +63,20 @@ class VecPlasticineEnv:
                  jitter: float = 1e-3, mesh: Optional[Mesh] = None,
                  horizon: int = 50, scene: Optional[SceneSpec] = None,
                  target_density: Optional[np.ndarray] = None,
-                 particles: Optional[np.ndarray] = None):
+                 particles: Optional[np.ndarray] = None,
+                 obs_mode: str = "state", image_obs_res: int = 64,
+                 image_obs_spp: int = 2):
+        assert obs_mode in ("state", "rgb"), obs_mode
+        self.obs_mode = obs_mode
         if scene is None:
             spec = os.path.join(ASSET_ROOT, "specs",
                                 f"{env_name.lower()}.json")
             scene = load_scene(spec)
+        colors = None
         if particles is None:
-            particles, _ = build_particles(scene.shapes)
+            particles, colors = build_particles(scene.shapes)
+        elif obs_mode == "rgb":
+            colors = np.full((len(particles),), 0x999999, np.int32)
         scene = scene.with_n_particles(len(particles))
         # Batched stepping vmaps the physics. The rows/Pallas kernels batch
         # directly (vmapped pallas_call grids, fallback=False); only when
@@ -119,6 +126,32 @@ class VecPlasticineEnv:
 
         mats, loss_state = self.mats, self.loss_state
 
+        obs_render_b = None
+        if obs_mode == "rgb":
+            # Batched in-graph visual observations (BASELINE configs[3]):
+            # every env's 64x64 frame renders inside the stepping program —
+            # vmapped voxelize + march + tone map, one launch for the batch.
+            from ..engine.renderer import Renderer
+            from ..engine.renderer.renderer import obs_scene
+
+            rsc = obs_scene(scene, image_obs_res, image_obs_spp)
+            renderer = Renderer(rsc)
+            renderer.set_target_density(
+                np.asarray(target_density, np.float32)
+                / scene.simulator.p_mass)
+            obs_fn = renderer.build_obs_fn()
+            colors_j = jnp.asarray(colors, jnp.int32)
+            vobs = jax.vmap(obs_fn, in_axes=(0, None, 0, 0, 0, 0))
+
+            def obs_render_b(states, key):
+                keys = jax.random.split(key, batch)
+                img = vobs(states.x, colors_j, states.prim_pos,
+                           states.prim_rot, states.prim_gap, keys)
+                return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+            self.obs_shape = (image_obs_res, image_obs_res, 3)
+            self._renderer = renderer
+
         def one_step(state, action, softness):
             st, gm, off = mpm.env_step_with_grid_m(
                 scene, mats, state, action, softness, fallback=False)
@@ -144,18 +177,38 @@ class VecPlasticineEnv:
         else:
             step_b = jax.vmap(one_step, in_axes=(0, 0, None))
         loss_b = jax.vmap(one_loss)
+        if obs_mode == "rgb":
+            state_step_b, state_loss_b = step_b, loss_b
+
+            def step_b(states, actions, softness, key):
+                key, sub = jax.random.split(key)
+                st, _, loss, iou = state_step_b(states, actions, softness)
+                return st, obs_render_b(st, sub), loss, iou, key
+
+            def loss_b(states, key):
+                key, sub = jax.random.split(key)
+                loss, _ = state_loss_b(states)
+                return loss, obs_render_b(states, sub), key
+
         if self._shard is not None:
             rep = NamedSharding(mesh, P())
-            self._step_b = jax.jit(
-                step_b,
-                in_shardings=(self._shard, self._shard, rep),
-                out_shardings=(self._shard, self._shard, self._shard,
-                               self._shard))
-            self._loss_b = jax.jit(loss_b, in_shardings=(self._shard,),
-                                   out_shardings=(self._shard, self._shard))
+            sh = self._shard
+            if obs_mode == "rgb":
+                self._step_b = jax.jit(
+                    step_b, in_shardings=(sh, sh, rep, rep),
+                    out_shardings=(sh, sh, sh, sh, rep))
+                self._loss_b = jax.jit(loss_b, in_shardings=(sh, rep),
+                                       out_shardings=(sh, sh, rep))
+            else:
+                self._step_b = jax.jit(
+                    step_b, in_shardings=(sh, sh, rep),
+                    out_shardings=(sh, sh, sh, sh))
+                self._loss_b = jax.jit(loss_b, in_shardings=(sh,),
+                                       out_shardings=(sh, sh))
         else:
             self._step_b = jax.jit(step_b)
             self._loss_b = jax.jit(loss_b)
+        self._key = jax.random.PRNGKey(seed + 1)
 
         self.states = self._init_states
         self._start_loss = None
@@ -169,7 +222,10 @@ class VecPlasticineEnv:
     # ------------------------------------------------------------------
     def reset(self):
         self.states = self._init_states
-        start_loss, obs = self._loss_b(self.states)
+        if self.obs_mode == "rgb":
+            start_loss, obs, self._key = self._loss_b(self.states, self._key)
+        else:
+            start_loss, obs = self._loss_b(self.states)
         self._start_loss = start_loss
         self._t = 0
         return obs
@@ -177,8 +233,12 @@ class VecPlasticineEnv:
     def step(self, actions):
         """actions (B, act_dim) — device array or numpy."""
         actions = jnp.asarray(actions, self.dtype)
-        self.states, obs, loss, iou = self._step_b(
-            self.states, actions, self._softness)
+        if self.obs_mode == "rgb":
+            self.states, obs, loss, iou, self._key = self._step_b(
+                self.states, actions, self._softness, self._key)
+        else:
+            self.states, obs, loss, iou = self._step_b(
+                self.states, actions, self._softness)
         reward = self._start_loss - loss
         self._t += 1
         done = jnp.full((self.batch,), self._t >= self.horizon)

@@ -60,3 +60,56 @@ def test_ppo_consumes_vec_batch(tmp_path):
     venv = _tiny_venv()
     agent = train_ppo_vec(_args(24), str(tmp_path), venv=venv, rollout_len=8)
     assert agent is not None
+
+
+def _tiny_rgb_venv(batch=2, horizon=3, res=16):
+    from plasticinelab_tpu.config.spec import RendererSpec, ShapeSpec
+
+    sim = SimulatorSpec(quality=0.25, n_particles=200, dtype="float32",
+                        yield_stress=200.0)
+    prim = PrimitiveSpec(shape="Sphere", radius=0.05,
+                         init_pos=(0.38, 0.5, 0.5), friction=0.9,
+                         action_dim=3, action_scale=(0.01,) * 3)
+    shape = ShapeSpec(shape="sphere", init_pos=(0.5, 0.5, 0.5), radius=0.06,
+                      n_particles=200)
+    ren = RendererSpec(spp=1, image_res=(48, 48), voxel_res=(32, 32, 32),
+                       target_res=(16, 16, 16), use_directional_light=False)
+    scene = SceneSpec(
+        simulator=sim, primitives=(prim,), shapes=(shape,), renderer=ren,
+        env=EnvSpec(loss=LossSpec(target_path=""), n_observed_particles=50),
+    )
+    target = np.zeros((16, 16, 16), np.float32)
+    target[6:10, 6:10, 6:10] = sim.p_mass * 4
+    return VecPlasticineEnv(None, batch=batch, scene=scene, jitter=1e-3,
+                            target_density=target, horizon=horizon,
+                            obs_mode="rgb", image_obs_res=res,
+                            image_obs_spp=1)
+
+
+def test_vec_learners_rgb(tmp_path):
+    """SAC, TD3 and PPO all consume a B>1 rgb VecPlasticineEnv batch —
+    batched visual-observation collection (BASELINE configs[3])."""
+    from plasticinelab_tpu.algorithms.ppo.run_ppo import train_ppo_vec
+    from plasticinelab_tpu.algorithms.sac.run_sac import train_vec
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+    from plasticinelab_tpu.algorithms.td3.run_td3 import train_td3_vec
+    from plasticinelab_tpu.algorithms.td3.td3 import TD3
+
+    venv = _tiny_rgb_venv()
+    assert venv.obs_shape == (16, 16, 3)
+
+    algo = SAC(state_dim=venv.obs_shape, action_dim=venv.action_dim, seed=0)
+    out = train_vec(None, algo, str(tmp_path / "sac"), _args(8), venv=venv,
+                    start_steps=4)
+    assert out is algo
+
+    policy = TD3(venv.obs_shape, venv.action_dim, max_action=1.0, seed=0)
+    out = train_td3_vec(policy, _args(8), str(tmp_path / "td3"), venv=venv,
+                        start_timesteps=4)
+    assert out is policy
+
+    args = _args(8)
+    args.obs_mode = "rgb"
+    agent = train_ppo_vec(args, str(tmp_path / "ppo"), venv=venv,
+                          rollout_len=4)
+    assert agent is not None

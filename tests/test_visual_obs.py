@@ -151,3 +151,56 @@ def test_visual_train_loops_end_to_end(rgb_env, tmp_path):
                            start_timesteps=4, rollout_len=4)
     train_td3(rgb_env, str(tmp_path / "td3"), _NullLogger(), args)
     train_ppo(rgb_env, str(tmp_path / "ppo"), _NullLogger(), args)
+
+
+def test_obs_fn_vmap_matches_single():
+    """The in-graph observation render (Renderer.build_obs_fn) is
+    vmappable: batched output equals per-env application."""
+    import jax
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.engine.renderer import Renderer
+    from plasticinelab_tpu.engine.renderer.renderer import obs_scene
+    from plasticinelab_tpu.engine.shapes import build_particles
+
+    scene = _tiny_scene()
+    particles, colors = build_particles(scene.shapes)
+    r = Renderer(obs_scene(scene, RES, 1))
+    r.set_target_density(np.zeros(r.target_res, np.float32))
+    fn = r.build_obs_fn()
+    colors = jnp.asarray(colors, jnp.int32)
+    x = jnp.asarray(np.stack([particles, particles + 0.02]), jnp.float32)
+    pp = jnp.asarray(
+        np.broadcast_to(np.array([[0.38, 0.5, 0.5]], np.float32), (2, 1, 3)))
+    pr = jnp.asarray(
+        np.broadcast_to(np.array([[1.0, 0, 0, 0]], np.float32), (2, 1, 4)))
+    pg = jnp.zeros((2, 1), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    out_b = jax.vmap(fn, in_axes=(0, None, 0, 0, 0, 0))(
+        x, colors, pp, pr, pg, keys)
+    for b in range(2):
+        out_s = fn(x[b], colors, pp[b], pr[b], pg[b], keys[b])
+        np.testing.assert_allclose(np.asarray(out_b[b]), np.asarray(out_s),
+                                   atol=1e-5)
+
+
+def test_vec_env_rgb_obs():
+    """VecPlasticineEnv obs_mode='rgb': batched uint8 frames from the
+    stepping program (BASELINE configs[3] at batch scale)."""
+    from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
+
+    scene = _tiny_scene()
+    target = np.zeros((16, 16, 16), np.float32)
+    target[6:10, 6:10, 6:10] = scene.simulator.p_mass * 4
+    ve = VecPlasticineEnv(None, batch=2, scene=scene, target_density=target,
+                          horizon=3, obs_mode="rgb", image_obs_res=RES,
+                          image_obs_spp=1)
+    obs = np.asarray(ve.reset())
+    assert obs.shape == (2, RES, RES, 3) and obs.dtype == np.uint8
+    assert obs.max() > 0
+    o2, rew, done, info = ve.step(np.zeros((2, ve.action_dim), np.float32))
+    o2 = np.asarray(o2)
+    assert o2.shape == (2, RES, RES, 3) and o2.dtype == np.uint8
+    assert np.isfinite(np.asarray(rew)).all()
+    # frames differ at reset (jittered starts) but both show the scene
+    assert o2.max() > 0
