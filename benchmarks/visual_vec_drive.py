@@ -30,9 +30,12 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
     replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
     rng = np.random.default_rng(0)
 
-    start_steps = max(num_steps // 5, 2 * batch)
+    start_steps = min(max(num_steps // 5, 2 * batch), 2500)
     horizon = venv.horizon
     sac_batch = 64
+    # gradient updates per collected batch (the reference updates once per
+    # env step; batch//4 keeps a 1:4 update:data ratio at B=16)
+    n_updates = int(os.environ.get("PLB_VISRL_UPDATES", max(1, batch // 4)))
 
     ep_rewards = []  # per-episode mean step reward, averaged over the batch
     steps = 0
@@ -59,7 +62,7 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
         if steps >= start_steps:
             if t_steady is None:
                 t_steady = (time.perf_counter(), steps)
-            algo.update(replay, sac_batch, rng)
+            algo.update_many(replay, sac_batch, rng, n_updates)
         if ep_t >= horizon:
             ep_rewards.append(float(np.mean(ep_r)) / ep_t)
             if ep_log:
@@ -98,7 +101,7 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
             "reward_improved": (bool(last_q > first_q)
                                 if ep_rewards else None),
             "batch": batch, "start_steps": start_steps,
-            "sac_update_batch": sac_batch,
+            "sac_update_batch": sac_batch, "updates_per_batch": n_updates,
         },
     }))
 

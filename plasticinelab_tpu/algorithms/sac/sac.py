@@ -64,6 +64,7 @@ class SAC:
             log_alpha=log_alpha, alpha_opt=self.alpha_tx.init(log_alpha),
         )
         self._update = jax.jit(self._update_impl)
+        self._update_many = jax.jit(self._update_many_impl)
         self._explore = jax.jit(self._explore_impl)
         self._exploit = jax.jit(self._exploit_impl)
 
@@ -156,6 +157,29 @@ class SAC:
             self.state, batch, self._key)
         # Device scalar — float() it at the logging site; fetching here would
         # block the host on every update step.
+        return loss
+
+    def _update_many_impl(self, ts: SACState, batches, key):
+        def body(carry, batch):
+            ts, key = carry
+            ts, loss, key = self._update_impl(ts, batch, key)
+            return (ts, key), loss
+
+        (ts, key), losses = jax.lax.scan(body, (ts, key), batches)
+        return ts, losses[-1], key
+
+    def update_many(self, replay_buffer, batch_size=256, rng=None, n=1):
+        """n gradient updates in ONE dispatch: sample n minibatches and scan
+        the update step over them. Dispatch latency (not FLOPs) dominates
+        small conv updates, so the vectorized visual collection loop calls
+        this instead of n separate update()s."""
+        if n <= 1:
+            return self.update(replay_buffer, batch_size, rng)
+        rng = rng or np.random.default_rng(0)
+        parts = [replay_buffer.sample(batch_size, rng) for _ in range(n)]
+        batches = tuple(np.stack(p) for p in zip(*parts))
+        self.state, loss, self._key = self._update_many(
+            self.state, batches, self._key)
         return loss
 
     def save_models(self, path):

@@ -85,6 +85,22 @@ def test_sac_update_and_entropy_tuning():
     assert np.all(np.abs(d) <= 1.0)
 
 
+def test_sac_update_many_matches_semantics():
+    """update_many(n) = n scanned update steps in one dispatch: state
+    advances, loss finite, and explore still bounded."""
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+
+    algo = SAC(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    rng = np.random.default_rng(3)
+    la0 = float(algo.state.log_alpha)
+    loss = algo.update_many(buf, batch_size=32, rng=rng, n=3)
+    assert np.isfinite(loss)
+    assert float(algo.state.log_alpha) != la0
+    a = algo.explore_batch(np.zeros((4, 8), np.float32))
+    assert a.shape == (4, 3) and np.all(np.abs(a) <= 1.0)
+
+
 def test_discor_update():
     from plasticinelab_tpu.algorithms.sac.discor import DisCor
 
