@@ -71,6 +71,7 @@ class TD3:
             lambda p, o: self.actor_def.apply(p, o)
         )
         self._update = jax.jit(self._update_impl)
+        self._train_many = jax.jit(self._train_many_impl)
 
     def select_action(self, state: np.ndarray) -> np.ndarray:
         if self.visual:
@@ -139,6 +140,28 @@ class TD3:
         self._key, sub = jax.random.split(self._key)
         self.state, loss = self._update(self.state, batch, sub)
         # Device scalar — float() at the logging site, not per update step.
+        return loss
+
+    def _train_many_impl(self, ts: TD3State, batches, key):
+        def body(carry, batch):
+            ts, key = carry
+            key, sub = jax.random.split(key)
+            ts, loss = self._update_impl(ts, batch, sub)
+            return (ts, key), loss
+
+        (ts, key), losses = jax.lax.scan(body, (ts, key), batches)
+        return ts, losses[-1], key
+
+    def train_many(self, replay_buffer, batch_size=256, rng=None, n=1):
+        """n gradient updates in ONE dispatch (scanned minibatches) — see
+        SAC.update_many; used by the vectorized visual collection loop."""
+        if n <= 1:
+            return self.train(replay_buffer, batch_size, rng)
+        rng = rng or np.random.default_rng(0)
+        parts = [replay_buffer.sample(batch_size, rng) for _ in range(n)]
+        batches = tuple(np.stack(p) for p in zip(*parts))
+        self.state, loss, self._key = self._train_many(
+            self.state, batches, self._key)
         return loss
 
     # model save/load (reference TD3.py:152-159)

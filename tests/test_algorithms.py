@@ -41,6 +41,21 @@ def test_td3_update():
     assert a.shape == (3,) and np.all(np.abs(a) <= 1.0)
 
 
+def test_td3_train_many():
+    from plasticinelab_tpu.algorithms.td3.td3 import TD3
+
+    policy = TD3(state_dim=8, action_dim=3)
+    buf = _fill_buffer(8, 3)
+    c0 = jax.tree.leaves(policy.state.critic)[0].copy()
+    loss = policy.train_many(buf, batch_size=32,
+                             rng=np.random.default_rng(1), n=3)
+    assert np.isfinite(loss)
+    assert int(policy.state.step) == 3  # scanned 3 update steps
+    assert not np.allclose(c0, jax.tree.leaves(policy.state.critic)[0])
+    a = policy.select_action_batch(np.zeros((4, 8), np.float32))
+    assert a.shape == (4, 3) and np.all(np.abs(a) <= 1.0)
+
+
 def test_ddpg_update():
     from plasticinelab_tpu.algorithms.td3.ddpg import DDPG
 
