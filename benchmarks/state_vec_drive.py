@@ -1,0 +1,131 @@
+"""State-observation RL training drive at batch scale: SAC on B vectorized
+on-device envs (the reference's 500k-env-step SAC benchmark, run_sac.py /
+agent.py in /root/reference/plb/algorithms/discor, re-hosted on the batched
+TPU rollout path). Unlike the r03 visual drives (throughput-only), this run
+is long enough to record an actual learning signal: per-episode mean step
+reward and final-step incremental IoU, first-quarter vs last-quarter.
+
+The whole data path is device-resident: obs/reward stay on the TPU, the
+replay buffer is a DeviceReplayBuffer (one batched-scatter write per step),
+and SAC updates sample their minibatches in-graph (update_many_device). The
+host only draws exploration noise and keeps episode counters.
+
+Usage: python benchmarks/state_vec_drive.py [num_steps] [env_name] [batch]
+Env:   PLB_STATERL_EPLOG=path  append per-episode JSONL rows
+       PLB_STATERL_UPDATES=n   SAC gradient updates per collected batch
+                               (default B//2; the reference's ratio is 1
+                               update per env step)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(num_steps=200_000, env_name="Move-v1", batch=32):
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.algorithms.common import DeviceReplayBuffer
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+    from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
+
+    venv = VecPlasticineEnv(env_name, batch=batch, seed=0)
+    algo = SAC(state_dim=venv.obs_dim, action_dim=venv.action_dim,
+               gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
+               target_update_coef=0.005, seed=0)
+    # 2^18 transitions x obs_dim~1214 x 2 obs arrays = ~2.5 GB HBM
+    replay = DeviceReplayBuffer(venv.obs_dim, venv.action_dim,
+                                max_size=1 << 18)
+    rng = np.random.default_rng(0)
+
+    # reference discor config: start_steps=10000 of uniform exploration
+    start_steps = min(10_000, max(num_steps // 10, 2 * batch))
+    horizon = venv.horizon
+    sac_batch = 256  # reference discor batch_size
+    n_updates = int(os.environ.get("PLB_STATERL_UPDATES", max(1, batch // 2)))
+
+    ep_rewards = []   # per-episode-batch mean step reward
+    ep_ious = []      # per-episode-batch mean final-step incremental IoU
+    steps = 0
+    t_start = time.perf_counter()
+    t_steady = None
+    ep_log = os.environ.get("PLB_STATERL_EPLOG")
+    obs = venv.reset()
+    ep_t = 0
+    ep_r = jnp.zeros((batch,))
+    zeros_done = jnp.zeros((batch,))
+    last_iou = None
+    while steps < num_steps:
+        if steps < start_steps:
+            actions = rng.uniform(
+                -1, 1, (batch, venv.action_dim)).astype(np.float32)
+        else:
+            actions = algo.explore_batch(obs)
+        nobs, reward, done, info = venv.step(actions)
+        last_iou = info["iou"]
+        ep_t += 1
+        ep_r = ep_r + reward
+        replay.add_batch(obs, actions, nobs, reward, zeros_done)
+        obs = nobs
+        steps += batch
+        if steps >= start_steps:
+            if t_steady is None:
+                t_steady = (time.perf_counter(), steps)
+            algo.update_many_device(replay, sac_batch, n_updates)
+        if ep_t >= horizon:
+            ep_rewards.append(float(jnp.mean(ep_r)) / ep_t)
+            ep_ious.append(float(jnp.mean(last_iou)))
+            if ep_log:
+                with open(ep_log, "a") as f:
+                    f.write(json.dumps({
+                        "episode_batch": len(ep_rewards), "steps": steps,
+                        "mean_step_reward": round(ep_rewards[-1], 5),
+                        "mean_final_iou": round(ep_ious[-1], 5),
+                        "wall_s": round(time.perf_counter() - t_start, 1),
+                    }) + "\n")
+            obs = venv.reset()
+            ep_t = 0
+            ep_r = jnp.zeros((batch,))
+
+    total = time.perf_counter() - t_start
+    steady_sps = ((steps - t_steady[1]) / (time.perf_counter() - t_steady[0])
+                  if t_steady and steps > t_steady[1] else None)
+    k = max(len(ep_rewards) // 4, 1)
+    first_q = float(np.mean(ep_rewards[:k])) if ep_rewards else None
+    last_q = float(np.mean(ep_rewards[-k:])) if ep_rewards else None
+    iou_first = float(np.mean(ep_ious[:k])) if ep_ious else None
+    iou_last = float(np.mean(ep_ious[-k:])) if ep_ious else None
+    print(json.dumps({
+        "metric": "state_sac_vec_learning",
+        "value": round(steps / total, 3),
+        "unit": f"env steps/s (SAC, state obs, {env_name}, "
+                f"B={batch} vectorized explore+update)",
+        "vs_baseline": None,
+        "extra": {
+            "num_steps": steps,
+            "wallclock_s": round(total, 1),
+            "steady_steps_per_sec": (round(steady_sps, 3)
+                                     if steady_sps else None),
+            "episode_batches": len(ep_rewards),
+            "mean_reward_first_quarter": (round(first_q, 4)
+                                          if first_q is not None else None),
+            "mean_reward_last_quarter": (round(last_q, 4)
+                                         if last_q is not None else None),
+            "final_iou_first_quarter": (round(iou_first, 4)
+                                        if iou_first is not None else None),
+            "final_iou_last_quarter": (round(iou_last, 4)
+                                       if iou_last is not None else None),
+            "reward_improved": (bool(last_q > first_q)
+                                if ep_rewards else None),
+            "batch": batch, "start_steps": start_steps,
+            "sac_update_batch": sac_batch, "updates_per_batch": n_updates,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main(*[(int(a) if a.isdigit() else a) for a in sys.argv[1:]])

@@ -65,6 +65,8 @@ class SAC:
         )
         self._update = jax.jit(self._update_impl)
         self._update_many = jax.jit(self._update_many_impl)
+        self._update_many_device = jax.jit(
+            self._update_many_device_impl, static_argnums=(4, 5))
         self._explore = jax.jit(self._explore_impl)
         self._exploit = jax.jit(self._exploit_impl)
 
@@ -180,6 +182,30 @@ class SAC:
         batches = tuple(np.stack(p) for p in zip(*parts))
         self.state, loss, self._key = self._update_many(
             self.state, batches, self._key)
+        return loss
+
+    def _update_many_device_impl(self, ts, bufs, size, key, batch_size, n):
+        from ..common import sample_device_batch
+
+        def body(carry, _):
+            ts, key = carry
+            key, ks = jax.random.split(key)
+            batch = sample_device_batch(bufs, size, batch_size, ks)
+            ts, loss, key = self._update_impl(ts, batch, key)
+            return (ts, key), loss
+
+        (ts, key), losses = jax.lax.scan(body, (ts, key), None, length=n)
+        return ts, losses[-1], key
+
+    def update_many_device(self, replay_buffer, batch_size=256, n=1):
+        """n gradient updates in ONE dispatch with minibatches sampled
+        IN-GRAPH from a DeviceReplayBuffer — no host round-trip for the
+        training data (the host ReplayBuffer path moves ~n*batch*obs_dim
+        floats over the device tunnel per call, which dominates the whole
+        vectorized RL loop on this machine)."""
+        self.state, loss, self._key = self._update_many_device(
+            self.state, replay_buffer.arrays(),
+            jnp.asarray(replay_buffer.size), self._key, batch_size, n)
         return loss
 
     def save_models(self, path):

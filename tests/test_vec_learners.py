@@ -113,3 +113,35 @@ def test_vec_learners_rgb(tmp_path):
     agent = train_ppo_vec(args, str(tmp_path / "ppo"), venv=venv,
                           rollout_len=4)
     assert agent is not None
+
+
+def test_device_replay_buffer_sac():
+    """Device-resident replay: batched ring writes (with wraparound) and
+    in-graph minibatch sampling inside SAC's scanned update dispatch — the
+    path benchmarks/state_vec_drive.py runs on chip (no host round-trip for
+    training data, unlike the reference's numpy buffer, TD3/utils.py:5-40)."""
+    import jax
+
+    from plasticinelab_tpu.algorithms.common import DeviceReplayBuffer
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+
+    buf = DeviceReplayBuffer(12, 3, max_size=64)
+    rng = np.random.default_rng(0)
+    s = None
+    for _ in range(5):
+        s = rng.random((16, 12)).astype(np.float32)
+        buf.add_batch(s, rng.random((16, 3)), s + 1.0, rng.random(16),
+                      np.zeros(16))
+    assert buf.size == 64 and buf.ptr == 80 % 64
+    # 5th write of 16 wrapped to rows 0..15 of the ring
+    assert np.allclose(np.asarray(buf.next_state[:16]), s + 1.0)
+
+    algo = SAC(state_dim=12, action_dim=3, seed=0)
+    before = algo.state.policy
+    loss = algo.update_many_device(buf, batch_size=32, n=4)
+    assert np.isfinite(float(loss))
+    changed = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), before,
+                     algo.state.policy))
+    assert changed
