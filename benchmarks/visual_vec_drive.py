@@ -17,7 +17,7 @@ import numpy as np
 
 
 def main(num_steps=4000, env_name="Move-v1", batch=16):
-    from plasticinelab_tpu.algorithms.common import ImageReplayBuffer
+    from plasticinelab_tpu.algorithms.common import DeviceImageReplayBuffer
     from plasticinelab_tpu.algorithms.sac.sac import SAC
     from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
 
@@ -27,7 +27,8 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
     algo = SAC(state_dim=venv.obs_shape, action_dim=venv.action_dim,
                gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
                target_update_coef=0.005, seed=0)
-    replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+    # device-resident uint8 frame ring; minibatches sampled in-graph
+    replay = DeviceImageReplayBuffer(venv.obs_shape, venv.action_dim)
     rng = np.random.default_rng(0)
 
     start_steps = min(max(num_steps // 5, 2 * batch), 2500)
@@ -42,7 +43,7 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
     t_start = time.perf_counter()
     t_steady = None
     ep_log = os.environ.get("PLB_VISRL_EPLOG")
-    obs = np.asarray(venv.reset())
+    obs = venv.reset()
     ep_t = 0
     ep_r = np.zeros(batch)
     while steps < num_steps:
@@ -52,17 +53,16 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
         else:
             actions = algo.explore_batch(obs)
         nobs, reward, done, _ = venv.step(actions)
-        nobs, reward = np.asarray(nobs), np.asarray(reward)
+        reward = np.asarray(reward)
         ep_t += 1
         ep_r += reward
-        for b in range(batch):
-            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        replay.add_batch(obs, actions, nobs, reward, np.zeros(batch))
         obs = nobs
         steps += batch
         if steps >= start_steps:
             if t_steady is None:
                 t_steady = (time.perf_counter(), steps)
-            algo.update_many(replay, sac_batch, rng, n_updates)
+            algo.update_many_device(replay, sac_batch, n_updates)
         if ep_t >= horizon:
             ep_rewards.append(float(np.mean(ep_r)) / ep_t)
             if ep_log:
@@ -72,7 +72,7 @@ def main(num_steps=4000, env_name="Move-v1", batch=16):
                         "mean_step_reward": round(ep_rewards[-1], 5),
                         "wall_s": round(time.perf_counter() - t_start, 1),
                     }) + "\n")
-            obs = np.asarray(venv.reset())
+            obs = venv.reset()
             ep_t = 0
             ep_r = np.zeros(batch)
 

@@ -224,14 +224,17 @@ class DeviceReplayBuffer:
     two obs arrays) — size it to the run budget, not the reference's 1e6.
     """
 
-    def __init__(self, state_dim: int, action_dim: int,
-                 max_size: int = 1 << 18):
+    def __init__(self, state_dim, action_dim: int,
+                 max_size: int = 1 << 18, obs_dtype=jnp.float32):
+        obs_shape = (tuple(state_dim) if isinstance(state_dim, (tuple, list))
+                     else (state_dim,))
         self.max_size = max_size
         self.ptr = 0
         self.size = 0
-        self.state = jnp.zeros((max_size, state_dim), jnp.float32)
+        self.obs_dtype = obs_dtype
+        self.state = jnp.zeros((max_size,) + obs_shape, obs_dtype)
         self.action = jnp.zeros((max_size, action_dim), jnp.float32)
-        self.next_state = jnp.zeros((max_size, state_dim), jnp.float32)
+        self.next_state = jnp.zeros((max_size,) + obs_shape, obs_dtype)
         self.reward = jnp.zeros((max_size,), jnp.float32)
         self.not_done = jnp.zeros((max_size,), jnp.float32)
         self._write = jax.jit(self._write_impl)
@@ -246,14 +249,14 @@ class DeviceReplayBuffer:
 
     def add_batch(self, state, action, next_state, reward, done):
         """Append B transitions (device or host arrays) in one dispatch."""
-        state = jnp.asarray(state, jnp.float32)
+        state = jnp.asarray(state, self.obs_dtype)
         b = state.shape[0]
         bufs = (self.state, self.action, self.next_state, self.reward,
                 self.not_done)
         (self.state, self.action, self.next_state, self.reward,
          self.not_done) = self._write(
             bufs, self.ptr, state, jnp.asarray(action, jnp.float32),
-            jnp.asarray(next_state, jnp.float32),
+            jnp.asarray(next_state, self.obs_dtype),
             jnp.asarray(reward, jnp.float32),
             1.0 - jnp.asarray(done, jnp.float32))
         self.ptr = (self.ptr + b) % self.max_size
@@ -262,6 +265,16 @@ class DeviceReplayBuffer:
     def arrays(self):
         return (self.state, self.action, self.next_state, self.reward,
                 self.not_done)
+
+
+class DeviceImageReplayBuffer(DeviceReplayBuffer):
+    """Device-resident ring buffer for uint8 image observations. Frames are
+    stored compact (uint8) in HBM and scaled to float32 [0, 1] in-graph by
+    the learner's sampled-update program (64k 64^2 rgb frames ~ 1.5 GB HBM
+    for both obs arrays)."""
+
+    def __init__(self, obs_shape, action_dim: int, max_size: int = 1 << 16):
+        super().__init__(obs_shape, action_dim, max_size, jnp.uint8)
 
 
 def sample_device_batch(bufs, size, batch_size, key):

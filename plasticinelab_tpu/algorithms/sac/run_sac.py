@@ -145,19 +145,27 @@ def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
             image_obs_res=getattr(args, "image_obs_res", 64),
             image_obs_spp=getattr(args, "image_obs_spp", 2))
     batch, horizon = venv.batch, venv.horizon
+    # Device-resident replay: collected obs never leave the chip and the
+    # update samples its minibatches in-graph — the host numpy buffer's
+    # per-step D2H/H2D transfers dominated this loop on TPU.
     if venv.obs_mode == "rgb":
-        from ..common import ImageReplayBuffer
+        from ..common import DeviceImageReplayBuffer
 
-        replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+        replay = DeviceImageReplayBuffer(venv.obs_shape, venv.action_dim)
     else:
-        replay = ReplayBuffer(venv.obs_dim, venv.action_dim, 1000000)
+        from ..common import DeviceReplayBuffer
+
+        replay = DeviceReplayBuffer(venv.obs_dim, venv.action_dim)
     rng = np.random.default_rng(args.seed)
     model_dir = os.path.join(path, "model")
     os.makedirs(model_dir, exist_ok=True)
 
+    import jax.numpy as jnp
+
+    zeros_done = jnp.zeros((batch,))
     steps = 0
     t0 = time.perf_counter()
-    obs = np.asarray(venv.reset())
+    obs = venv.reset()
     ep_t = 0
     while steps < args.num_steps:
         if steps < start_steps:
@@ -166,16 +174,14 @@ def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
         else:
             actions = algo.explore_batch(obs)
         nobs, reward, done, _ = venv.step(actions)
-        nobs, reward = np.asarray(nobs), np.asarray(reward)
         ep_t += 1
-        for b in range(batch):
-            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        replay.add_batch(obs, actions, nobs, reward, zeros_done)
         obs = nobs
         steps += batch
         if steps >= start_steps:
-            algo.update(replay, 256, rng)
+            algo.update_many_device(replay, 256, n=1)
         if ep_t >= horizon:
-            obs = np.asarray(venv.reset())
+            obs = venv.reset()
             ep_t = 0
     dt = time.perf_counter() - t0
     print(f"[SAC vec] {steps} env steps in {dt:.1f}s "

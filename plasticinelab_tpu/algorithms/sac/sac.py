@@ -191,6 +191,10 @@ class SAC:
             ts, key = carry
             key, ks = jax.random.split(key)
             batch = sample_device_batch(bufs, size, batch_size, ks)
+            if self.visual:  # uint8-stored frames -> float [0, 1] in-graph
+                batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
+                          batch[2].astype(jnp.float32) / 255.0)
+                         + batch[3:])
             ts, loss, key = self._update_impl(ts, batch, key)
             return (ts, key), loss
 

@@ -144,40 +144,46 @@ def train_td3_vec(policy, old_args, path, batch=8, horizon=50, venv=None,
             image_obs_res=getattr(old_args, "image_obs_res", 64),
             image_obs_spp=getattr(old_args, "image_obs_spp", 2))
     batch, horizon = venv.batch, venv.horizon
+    # Device-resident replay: collected obs never leave the chip and the
+    # update samples its minibatches in-graph — the host numpy buffer's
+    # per-step D2H/H2D transfers dominated this loop on TPU.
     if venv.obs_mode == "rgb":
-        from ..common import ImageReplayBuffer
+        from ..common import DeviceImageReplayBuffer
 
-        replay = ImageReplayBuffer(venv.obs_shape, venv.action_dim, 100_000)
+        replay = DeviceImageReplayBuffer(venv.obs_shape, venv.action_dim)
     else:
-        replay = ReplayBuffer(venv.obs_dim, venv.action_dim)
+        from ..common import DeviceReplayBuffer
+
+        replay = DeviceReplayBuffer(venv.obs_dim, venv.action_dim)
     rng = np.random.default_rng(old_args.seed)
     os.makedirs(path, exist_ok=True)
 
+    import jax.numpy as jnp
+
+    zeros_done = jnp.zeros((batch,))
     expl_noise = 0.1
     steps = 0
     t0 = time.perf_counter()
-    obs = np.asarray(venv.reset())
+    obs = venv.reset()
     ep_t = 0
     while steps < old_args.num_steps:
         if steps < start_timesteps:
             actions = rng.uniform(
                 -1, 1, (batch, venv.action_dim)).astype(np.float32)
         else:
-            acts = policy.select_action_batch(obs)
+            acts = policy.select_action_batch(np.asarray(obs))
             actions = (
                 acts + rng.normal(0, expl_noise, acts.shape)
             ).clip(-1, 1).astype(np.float32)
         nobs, reward, done, _ = venv.step(actions)
-        nobs, reward = np.asarray(nobs), np.asarray(reward)
         ep_t += 1
-        for b in range(batch):
-            replay.add(obs[b], actions[b], nobs[b], reward[b], 0.0)
+        replay.add_batch(obs, actions, nobs, reward, zeros_done)
         obs = nobs
         steps += batch
         if steps >= start_timesteps:
-            policy.train(replay, 256, rng)
+            policy.train_many_device(replay, 256, n=1)
         if ep_t >= horizon:
-            obs = np.asarray(venv.reset())
+            obs = venv.reset()
             ep_t = 0
     dt = time.perf_counter() - t0
     print(f"[TD3 vec] {steps} env steps in {dt:.1f}s "

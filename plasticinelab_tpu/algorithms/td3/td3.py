@@ -72,6 +72,8 @@ class TD3:
         )
         self._update = jax.jit(self._update_impl)
         self._train_many = jax.jit(self._train_many_impl)
+        self._train_many_device = jax.jit(
+            self._train_many_device_impl, static_argnums=(4, 5))
 
     def select_action(self, state: np.ndarray) -> np.ndarray:
         if self.visual:
@@ -162,6 +164,33 @@ class TD3:
         batches = tuple(np.stack(p) for p in zip(*parts))
         self.state, loss, self._key = self._train_many(
             self.state, batches, self._key)
+        return loss
+
+    def _train_many_device_impl(self, ts: TD3State, bufs, size, key,
+                                batch_size, n):
+        from ..common import sample_device_batch
+
+        def body(carry, _):
+            ts, key = carry
+            key, ks, sub = jax.random.split(key, 3)
+            batch = sample_device_batch(bufs, size, batch_size, ks)
+            if self.visual:  # uint8-stored frames -> float [0, 1] in-graph
+                batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
+                          batch[2].astype(jnp.float32) / 255.0)
+                         + batch[3:])
+            ts, loss = self._update_impl(ts, batch, sub)
+            return (ts, key), loss
+
+        (ts, key), losses = jax.lax.scan(body, (ts, key), None, length=n)
+        return ts, losses[-1], key
+
+    def train_many_device(self, replay_buffer, batch_size=256, n=1):
+        """n gradient updates in ONE dispatch with minibatches sampled
+        IN-GRAPH from a Device(Image)ReplayBuffer — no host round-trip for
+        the training data (see SAC.update_many_device)."""
+        self.state, loss, self._key = self._train_many_device(
+            self.state, replay_buffer.arrays(),
+            jnp.asarray(replay_buffer.size), self._key, batch_size, n)
         return loss
 
     # model save/load (reference TD3.py:152-159)
