@@ -29,9 +29,15 @@ class DisCor(SAC):
     def __init__(self, state_dim, action_dim, error_lr=3e-4, tau_init=10.0,
                  **kwargs):
         super().__init__(state_dim, action_dim, **kwargs)
-        self.err_def = TwinQ()
+        if self.visual:
+            from ..common import VisualTwinQ
+
+            self.err_def = VisualTwinQ()
+            obs = jnp.zeros((1,) + tuple(state_dim))
+        else:
+            self.err_def = TwinQ()
+            obs = jnp.zeros((1, state_dim))
         key = jax.random.PRNGKey(kwargs.get("seed", 0) + 123)
-        obs = jnp.zeros((1, state_dim))
         act = jnp.zeros((1, action_dim))
         err_params = self.err_def.init(key, obs, act)
         self.err_tx = optax.adam(error_lr)
@@ -41,6 +47,8 @@ class DisCor(SAC):
             tau1=jnp.asarray(tau_init), tau2=jnp.asarray(tau_init),
         )
         self._update_discor = jax.jit(self._update_discor_impl)
+        self._update_many_device_discor = jax.jit(
+            self._update_many_device_discor_impl, static_argnums=(5, 6))
 
     def _update_discor_impl(self, ts: SACState, ds: DisCorState, batch, key):
         state, action, next_state, reward, not_done = batch
@@ -128,3 +136,48 @@ class DisCor(SAC):
             self.state, self.dstate, batch, sub
         )
         return float(loss)
+
+    def _update_many_device_discor_impl(self, ts, ds, bufs, size, key,
+                                        batch_size, n):
+        from ..common import sample_device_batch
+
+        def body(carry, _):
+            ts, ds, key = carry
+            key, ks, ku = jax.random.split(key, 3)
+            batch = sample_device_batch(bufs, size, batch_size, ks)
+            if self.visual:  # uint8-stored frames -> float [0, 1] in-graph
+                batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
+                          batch[2].astype(jnp.float32) / 255.0)
+                         + batch[3:])
+            ts, ds, loss = self._update_discor_impl(ts, ds, batch, ku)
+            return (ts, ds, key), loss
+
+        (ts, ds, key), losses = jax.lax.scan(
+            body, (ts, ds, key), None, length=n)
+        return ts, ds, losses[-1], key
+
+    def update_many_device(self, replay_buffer, batch_size=256, n=1):
+        """DisCor version of SAC.update_many_device: n scanned updates with
+        in-graph minibatch sampling, threading the error-model state too —
+        so `--algo discor --vec_envs B` keeps the device-resident loop."""
+        self.state, self.dstate, loss, self._key = (
+            self._update_many_device_discor(
+                self.state, self.dstate, replay_buffer.arrays(),
+                jnp.asarray(replay_buffer.size), self._key, batch_size, n))
+        return loss
+
+    def save_models(self, path):
+        import os
+        import pickle
+
+        super().save_models(path)
+        with open(os.path.join(path, "discor_state.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(self.dstate), f)
+
+    def load_models(self, path):
+        import os
+        import pickle
+
+        super().load_models(path)
+        with open(os.path.join(path, "discor_state.pkl"), "rb") as f:
+            self.dstate = jax.device_put(pickle.load(f))

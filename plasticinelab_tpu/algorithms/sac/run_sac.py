@@ -109,7 +109,11 @@ class Agent:
 
 def train(env, path, logger, args):
     obs_shape = env.observation_space.shape
-    algo = SAC(
+    if getattr(args, "algo", "sac") == "discor":
+        from .discor import DisCor as algo_cls
+    else:
+        algo_cls = SAC
+    algo = algo_cls(
         state_dim=(obs_shape if len(obs_shape) == 3 else obs_shape[0]),
         action_dim=env.action_space.shape[0],
         gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
@@ -118,11 +122,14 @@ def train(env, path, logger, args):
     vec = int(getattr(args, "vec_envs", 0) or 0)
     if vec > 1:
         return train_vec(env, algo, path, args, batch=vec)
+    # PLB_SAC_START_STEPS: warmup override for tiny CI/verify drives
+    # (reference default 2500, discor/run_sac.py)
     agent = Agent(
         env=env, test_env=env, algo=algo, log_dir=path,
         num_steps=args.num_steps, batch_size=256, memory_size=1000000,
-        update_interval=1, start_steps=2500, eval_interval=200,
-        num_eval_episodes=5, seed=args.seed, logger=logger,
+        update_interval=1,
+        start_steps=int(os.environ.get("PLB_SAC_START_STEPS", 2500)),
+        eval_interval=200, num_eval_episodes=5, seed=args.seed, logger=logger,
     )
     agent.run()
     return algo

@@ -10,7 +10,7 @@ import random
 
 import numpy as np
 
-RL_ALGOS = ["sac", "td3", "ppo", "acktr"]
+RL_ALGOS = ["sac", "discor", "td3", "ppo", "acktr"]
 DIFF_ALGOS = ["action", "nn"]
 
 
@@ -86,7 +86,10 @@ def main(argv=None):
         from ..optimizer.solver_nn import solve_nn
 
         solve_nn(env, args.path, logger, args)
-    elif args.algo == "sac":
+    elif args.algo in ("sac", "discor"):
+        # "discor" = SAC + the DisCor error model (sac/discor.py); the
+        # reference vendors DisCor (plb/algorithms/discor/algorithm/discor.py)
+        # but solve.py only ever builds plain SAC — here it is selectable.
         from .sac.run_sac import train as train_sac
 
         train_sac(env, args.path, logger, args)

@@ -126,6 +126,38 @@ def test_discor_update():
     assert np.isfinite(float(algo.dstate.tau1))
 
 
+def test_discor_update_many_device():
+    """DisCor's device-resident scanned update threads the error-model state
+    (so --algo discor --vec_envs B keeps the in-graph sampling path), and
+    the CLI exposes discor as a first-class algo."""
+    import jax
+
+    from plasticinelab_tpu.algorithms.common import DeviceReplayBuffer
+    from plasticinelab_tpu.algorithms.sac.discor import DisCor
+    from plasticinelab_tpu.algorithms.solve import RL_ALGOS, get_args
+
+    assert "discor" in RL_ALGOS
+    assert get_args(["--algo", "discor"]).algo == "discor"
+
+    algo = DisCor(state_dim=8, action_dim=3, seed=0)
+    buf = DeviceReplayBuffer(8, 3, max_size=64)
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        s = rng.random((16, 8)).astype(np.float32)
+        buf.add_batch(s, rng.uniform(-1, 1, (16, 3)), s + 0.1,
+                      rng.random(16), np.zeros(16))
+    tau0 = float(algo.dstate.tau1)
+    before = algo.state.policy
+    loss = algo.update_many_device(buf, batch_size=32, n=3)
+    assert np.isfinite(float(loss))
+    assert float(algo.dstate.tau1) != tau0  # error model advanced too
+    changed = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), before,
+                     algo.state.policy))
+    assert changed
+
+
 def test_ppo_update():
     from plasticinelab_tpu.algorithms.ppo.ppo import PPO
 
