@@ -11,8 +11,9 @@ and SAC updates sample their minibatches in-graph (update_many_device). The
 host only draws exploration noise and keeps episode counters.
 
 Usage: python benchmarks/state_vec_drive.py [num_steps] [env_name] [batch]
+                                            [algo: sac|discor|td3]
 Env:   PLB_STATERL_EPLOG=path  append per-episode JSONL rows
-       PLB_STATERL_UPDATES=n   SAC gradient updates per collected batch
+       PLB_STATERL_UPDATES=n   gradient updates per collected batch
                                (default B//2; the reference's ratio is 1
                                update per env step)
 """
@@ -26,17 +27,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(num_steps=200_000, env_name="Move-v1", batch=32):
+def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     import jax.numpy as jnp
 
     from plasticinelab_tpu.algorithms.common import DeviceReplayBuffer
-    from plasticinelab_tpu.algorithms.sac.sac import SAC
     from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
 
     venv = VecPlasticineEnv(env_name, batch=batch, seed=0)
-    algo = SAC(state_dim=venv.obs_dim, action_dim=venv.action_dim,
-               gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
-               target_update_coef=0.005, seed=0)
+    if algo_name == "td3":
+        from plasticinelab_tpu.algorithms.td3.td3 import TD3
+
+        algo = TD3(venv.obs_dim, venv.action_dim, max_action=1.0, seed=0)
+    else:
+        if algo_name == "discor":
+            from plasticinelab_tpu.algorithms.sac.discor import DisCor as cls
+        else:
+            from plasticinelab_tpu.algorithms.sac.sac import SAC as cls
+        algo = cls(state_dim=venv.obs_dim, action_dim=venv.action_dim,
+                   gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
+                   target_update_coef=0.005, seed=0)
     # 2^18 transitions x obs_dim~1214 x 2 obs arrays = ~2.5 GB HBM
     replay = DeviceReplayBuffer(venv.obs_dim, venv.action_dim,
                                 max_size=1 << 18)
@@ -63,6 +72,12 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32):
         if steps < start_steps:
             actions = rng.uniform(
                 -1, 1, (batch, venv.action_dim)).astype(np.float32)
+        elif algo_name == "td3":
+            # reference TD3 exploration: actor + N(0, 0.1) noise, clipped
+            actions = np.clip(
+                np.asarray(algo.select_action_batch(np.asarray(obs)))
+                + rng.normal(0, 0.1, (batch, venv.action_dim)),
+                -1, 1).astype(np.float32)
         else:
             actions = algo.explore_batch(obs)
         nobs, reward, done, info = venv.step(actions)
@@ -75,7 +90,10 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32):
         if steps >= start_steps:
             if t_steady is None:
                 t_steady = (time.perf_counter(), steps)
-            algo.update_many_device(replay, sac_batch, n_updates)
+            if algo_name == "td3":
+                algo.train_many_device(replay, sac_batch, n_updates)
+            else:
+                algo.update_many_device(replay, sac_batch, n_updates)
         if ep_t >= horizon:
             ep_rewards.append(float(jnp.mean(ep_r)) / ep_t)
             ep_ious.append(float(jnp.mean(last_iou)))
@@ -100,9 +118,9 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32):
     iou_first = float(np.mean(ep_ious[:k])) if ep_ious else None
     iou_last = float(np.mean(ep_ious[-k:])) if ep_ious else None
     print(json.dumps({
-        "metric": "state_sac_vec_learning",
+        "metric": f"state_{algo_name}_vec_learning",
         "value": round(steps / total, 3),
-        "unit": f"env steps/s (SAC, state obs, {env_name}, "
+        "unit": f"env steps/s ({algo_name.upper()}, state obs, {env_name}, "
                 f"B={batch} vectorized explore+update)",
         "vs_baseline": None,
         "extra": {

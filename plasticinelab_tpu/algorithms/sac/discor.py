@@ -135,7 +135,8 @@ class DisCor(SAC):
         self.state, self.dstate, loss = self._update_discor(
             self.state, self.dstate, batch, sub
         )
-        return float(loss)
+        # device scalar — float() it at the logging site (see SAC.update)
+        return loss
 
     def _update_many_device_discor_impl(self, ts, ds, bufs, size, key,
                                         batch_size, n):
