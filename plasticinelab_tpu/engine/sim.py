@@ -71,15 +71,24 @@ class PhysicsEnv:
             )
         )
         self._pending_loss = None
+        self._pending_obs = None
 
         def step_loss(state, action, softness):
+            # Fused step + loss + observation: the RL host loop needs all
+            # three every step; fusing them makes env.step ONE dispatch and
+            # ONE small device_get (obs ~1.2k floats + 5 scalars) instead of
+            # a dispatch plus full particle-array fetches (the reference
+            # steps interactively with ~19 kernel launches and no sync,
+            # mpm_simulator.py:365-376 — this is the XLA equivalent).
             st, gm, off = mpm.env_step_with_grid_m(
                 scene, self.mats, state, action, softness)
-            return st, losses_mod.loss_from_crop(
-                scene, self.loss_state, gm, off, st)
+            info = losses_mod.loss_from_crop(scene, self.loss_state, gm, off, st)
+            return st, self._obs_impl(st), info
 
-        self._step_loss = jax.jit(step_loss) if loss else None
-        self._rollout_vg = None  # built lazily per horizon
+        self._step_loss = (
+            jax.jit(step_loss, donate_argnums=0) if loss else None)
+        self._obs_fn = jax.jit(self._obs_impl)
+        self._rollout_vg_cache = {}  # keyed on horizon; cleared on retarget
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -100,6 +109,8 @@ class PhysicsEnv:
             grids = np.zeros((self.scene.simulator.n_grid,) * 3)
         self.target_density = np.asarray(grids, dtype=np.float64)
         self.loss_state = losses_mod.make_loss_state(self.scene, self.target_density)
+        # compiled rollouts close over loss_state — invalidate on retarget
+        self._rollout_vg_cache = {}
         # IoU of the goal with itself — normalizer for incremental_iou
         # (reference loss.py:46-57)
         td = self.loss_state.target_density
@@ -111,6 +122,16 @@ class PhysicsEnv:
         info["iou"] = losses_mod.iou(info.pop("grid_m"), self.loss_state.target_density)
         return info
 
+    def _obs_impl(self, state: SimState):
+        """In-graph observation (reference envs/env.py:33-41 layout)."""
+        n_obs = self.scene.env.n_observed_particles
+        step = self.n_particles // n_obs
+        x = state.x[::step]
+        v = state.v[::step]
+        prim = flat_primitive_states(self.scene, state)
+        return jnp.concatenate(
+            [jnp.concatenate([x, v], axis=-1).reshape(-1), prim.reshape(-1)])
+
     # ------------------------------------------------------------------
     # reference TaichiEnv API
     # ------------------------------------------------------------------
@@ -119,6 +140,7 @@ class PhysicsEnv:
 
     def initialize(self):
         self.state = initial_state(self.scene, self.init_particles)
+        self._pending_obs = None
         if self._loss_enabled:
             self._reset_loss_tracker()
 
@@ -126,18 +148,22 @@ class PhysicsEnv:
         if action is not None:
             action = np.asarray(action, dtype=self.dtype)
             if self._loss_enabled:
-                # Fused step+loss: the env step's crop grid-mass feeds the
-                # loss in the same graph (losses.loss_from_crop), replacing
-                # the standalone dense grid-mass transfer the host RL loop
-                # would otherwise pay per step (~180 ms -> ~5 ms on chip).
-                self.state, self._pending_loss = self._step_loss(
-                    self.state, action, self.dtype(self.softness))
+                # Fused step+loss+obs: the env step's crop grid-mass feeds
+                # the loss in the same graph (losses.loss_from_crop) and the
+                # observation is extracted on device, replacing the
+                # standalone dense grid-mass transfer + full particle-array
+                # fetches the host RL loop would otherwise pay per step.
+                self.state, self._pending_obs, self._pending_loss = (
+                    self._step_loss(
+                        self.state, action, self.dtype(self.softness)))
             else:
                 self.state = self._step(
                     self.state, action, self.dtype(self.softness))
+                self._pending_obs = None
         else:
             self.state = self._step_no_action(self.state, self.dtype(self.softness))
             self._pending_loss = None
+            self._pending_obs = None
 
     # ---- loss bookkeeping (reference loss.py:281-302 semantics) ----
     def _reset_loss_tracker(self):
@@ -146,11 +172,19 @@ class PhysicsEnv:
         self._init_iou = info["iou"]
         self._last_loss = 0.0
         self._pending_loss = None
+        self._pending_obs = None
 
     def compute_loss(self) -> Dict[str, float]:
         if self._pending_loss is not None:
-            info = {k: float(v)
-                    for k, v in jax.device_get(self._pending_loss).items()}
+            if self._pending_obs is not None:
+                # fetch obs + loss scalars in ONE round trip — the device
+                # tunnel's per-transfer latency is the host loop's floor
+                obs, raw = jax.device_get(
+                    (self._pending_obs, self._pending_loss))
+                self._pending_obs = np.asarray(obs)
+            else:
+                raw = jax.device_get(self._pending_loss)
+            info = {k: float(v) for k, v in raw.items()}
             self._pending_loss = None
         else:
             info = {k: float(v) for k, v in self._loss_fn(self.state).items()}
@@ -205,6 +239,7 @@ class PhysicsEnv:
         )
         self.softness = softness
         self._is_copy = is_copy
+        self._pending_obs = None
         if self._loss_enabled:
             self._reset_loss_tracker()
 
@@ -212,14 +247,11 @@ class PhysicsEnv:
     # observations (reference envs/env.py:33-41)
     # ------------------------------------------------------------------
     def get_obs(self) -> np.ndarray:
-        n_obs = self.scene.env.n_observed_particles
-        step = self.n_particles // n_obs
-        x = np.asarray(self.state.x)[::step]
-        v = np.asarray(self.state.v)[::step]
-        prim = np.asarray(flat_primitive_states(self.scene, self.state))
-        return np.concatenate(
-            [np.concatenate([x, v], axis=-1).reshape(-1), prim.reshape(-1)]
-        )
+        if self._pending_obs is not None:
+            obs = self._pending_obs  # produced by the fused step program
+        else:
+            obs = self._obs_fn(self.state)
+        return np.asarray(obs)
 
     # ------------------------------------------------------------------
     # the differentiable rollout (reference solver.py:31-44 under ti.Tape)
@@ -228,11 +260,13 @@ class PhysicsEnv:
                                softness: float):
         """loss over a whole action trajectory + d loss / d actions.
 
-        Compiled once per horizon; per-env-step jax.checkpoint recomputes the
-        19 substeps in the backward pass — the same recompute strategy as the
+        Compiled once per horizon (cached per horizon, invalidated when the
+        goal grid changes); per-env-step jax.checkpoint recomputes the 19
+        substeps in the backward pass — the same recompute strategy as the
         reference's substep_grad (mpm_simulator.py:260-278).
         """
-        if self._rollout_vg is None:
+        horizon = int(np.shape(actions)[0])
+        if horizon not in self._rollout_vg_cache:
             scene, mats = self.scene, self.mats
 
             def rollout_loss(state0, actions, softness):
@@ -254,10 +288,10 @@ class PhysicsEnv:
                 final, losses = jax.lax.scan(step_fn, state0, actions)
                 return jnp.sum(losses), final
 
-            self._rollout_vg = jax.jit(
+            self._rollout_vg_cache[horizon] = jax.jit(
                 jax.value_and_grad(rollout_loss, argnums=1, has_aux=True)
             )
-        (loss, final_state), grad = self._rollout_vg(
+        (loss, final_state), grad = self._rollout_vg_cache[horizon](
             state, jnp.asarray(actions, self.dtype), self.dtype(softness)
         )
         return loss, grad, final_state
