@@ -1,21 +1,33 @@
-"""State-observation RL training drive at batch scale: SAC on B vectorized
-on-device envs (the reference's 500k-env-step SAC benchmark, run_sac.py /
-agent.py in /root/reference/plb/algorithms/discor, re-hosted on the batched
-TPU rollout path). Unlike the r03 visual drives (throughput-only), this run
-is long enough to record an actual learning signal: per-episode mean step
-reward and final-step incremental IoU, first-quarter vs last-quarter.
+"""State-observation RL training drive at batch scale: SAC/DisCor/TD3 on B
+vectorized on-device envs (the reference's 500k-env-step benchmark,
+run_sac.py / agent.py in /root/reference/plb/algorithms/discor, re-hosted on
+the batched TPU rollout path).
+
+Training cadence matches the reference agent loop (agent.py:94-111 +
+run_sac.py:30-38): start_steps=2500 uniform exploration, then ONE gradient
+update per collected env step (B scanned updates per venv.step), batch 256.
+On top of reference parity: VecNormalize-style running observation
+normalization (the reference's PPO path normalizes, its SAC/TD3 don't — the
+~1214-dim raw obs mixes [0,1] positions with larger velocities), applied
+in-graph at update time from raw stored obs.
+
+Every `eval_every` episode batches the drive runs one EXPLOITATION episode
+(mean-action policy, reference algo.exploit / agent.evaluate) and logs mean
+return plus mean final-step **incremental IoU** — the benchmark's headline
+metric (reference loss.py:293-294).
 
 The whole data path is device-resident: obs/reward stay on the TPU, the
 replay buffer is a DeviceReplayBuffer (one batched-scatter write per step),
-and SAC updates sample their minibatches in-graph (update_many_device). The
-host only draws exploration noise and keeps episode counters.
+and updates sample their minibatches in-graph.
 
 Usage: python benchmarks/state_vec_drive.py [num_steps] [env_name] [batch]
                                             [algo: sac|discor|td3]
 Env:   PLB_STATERL_EPLOG=path  append per-episode JSONL rows
        PLB_STATERL_UPDATES=n   gradient updates per collected batch
-                               (default B//2; the reference's ratio is 1
-                               update per env step)
+                               (default B = reference's 1 per env step)
+       PLB_STATERL_OBSNORM=0   disable obs normalization (reference parity)
+       PLB_STATERL_EVAL_EVERY=k  exploit-eval every k episode batches
+       PLB_STATERL_SAVE=path   save final models under path
 """
 import json
 import os
@@ -30,7 +42,8 @@ import numpy as np
 def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     import jax.numpy as jnp
 
-    from plasticinelab_tpu.algorithms.common import DeviceReplayBuffer
+    from plasticinelab_tpu.algorithms.common import (
+        DeviceObsRMS, DeviceReplayBuffer, normalize_obs)
     from plasticinelab_tpu.parallel.rollout import VecPlasticineEnv
 
     venv = VecPlasticineEnv(env_name, batch=batch, seed=0)
@@ -51,14 +64,42 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
                                 max_size=1 << 18)
     rng = np.random.default_rng(0)
 
-    # reference discor config: start_steps=10000 of uniform exploration
-    start_steps = min(10_000, max(num_steps // 10, 2 * batch))
+    obs_norm = os.environ.get("PLB_STATERL_OBSNORM", "1") != "0"
+    rms = DeviceObsRMS(venv.obs_dim) if obs_norm else None
+
+    # reference run_sac.py:35: start_steps=2500 uniform exploration
+    start_steps = min(2500, max(num_steps // 10, 2 * batch))
     horizon = venv.horizon
     sac_batch = 256  # reference discor batch_size
-    n_updates = int(os.environ.get("PLB_STATERL_UPDATES", max(1, batch // 2)))
+    # reference update_interval=1: one gradient update per env step collected
+    n_updates = int(os.environ.get("PLB_STATERL_UPDATES", batch))
+    eval_every = int(os.environ.get("PLB_STATERL_EVAL_EVERY", "5"))
 
-    ep_rewards = []   # per-episode-batch mean step reward
+    def policy_obs(o):
+        return normalize_obs(o, rms.stats()) if obs_norm else o
+
+    def run_eval():
+        """One exploitation episode over the B envs (reference
+        agent.evaluate / algo.exploit). Returns (mean return, mean final
+        incremental IoU). Uses the training venv; callers reset after."""
+        eobs = venv.reset()
+        ret = jnp.zeros((batch,))
+        inc = None
+        for _ in range(horizon):
+            if algo_name == "td3":
+                acts = algo._select(algo.state.actor,
+                                    jnp.asarray(policy_obs(eobs)))
+            else:
+                acts = algo._exploit(algo.state.policy,
+                                     jnp.asarray(policy_obs(eobs)))
+            eobs, r, _, info = venv.step(acts)
+            ret = ret + r
+            inc = info["incremental_iou"]
+        return float(jnp.mean(ret)), float(jnp.mean(inc))
+
+    ep_rewards = []   # per-episode-batch mean step reward (exploration)
     ep_ious = []      # per-episode-batch mean final-step incremental IoU
+    evals = []        # (steps, eval_return, eval_incremental_iou)
     steps = 0
     t_start = time.perf_counter()
     t_steady = None
@@ -67,7 +108,7 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     ep_t = 0
     ep_r = jnp.zeros((batch,))
     zeros_done = jnp.zeros((batch,))
-    last_iou = None
+    last_inc = None
     while steps < num_steps:
         if steps < start_steps:
             actions = rng.uniform(
@@ -75,39 +116,59 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
         elif algo_name == "td3":
             # reference TD3 exploration: actor + N(0, 0.1) noise, clipped
             actions = np.clip(
-                np.asarray(algo.select_action_batch(np.asarray(obs)))
+                np.asarray(algo.select_action_batch(
+                    np.asarray(policy_obs(obs))))
                 + rng.normal(0, 0.1, (batch, venv.action_dim)),
                 -1, 1).astype(np.float32)
         else:
-            actions = algo.explore_batch(obs)
+            actions = algo.explore_batch(policy_obs(obs))
         nobs, reward, done, info = venv.step(actions)
-        last_iou = info["iou"]
+        last_inc = info["incremental_iou"]
         ep_t += 1
         ep_r = ep_r + reward
         replay.add_batch(obs, actions, nobs, reward, zeros_done)
+        if obs_norm:
+            rms.update(obs)
         obs = nobs
         steps += batch
         if steps >= start_steps:
             if t_steady is None:
                 t_steady = (time.perf_counter(), steps)
+            stats = rms.stats() if obs_norm else None
             if algo_name == "td3":
-                algo.train_many_device(replay, sac_batch, n_updates)
+                algo.train_many_device(replay, sac_batch, n_updates,
+                                       obs_stats=stats)
             else:
-                algo.update_many_device(replay, sac_batch, n_updates)
+                algo.update_many_device(replay, sac_batch, n_updates,
+                                        obs_stats=stats)
         if ep_t >= horizon:
             ep_rewards.append(float(jnp.mean(ep_r)) / ep_t)
-            ep_ious.append(float(jnp.mean(last_iou)))
+            ep_ious.append(float(jnp.mean(last_inc)))
+            row = {
+                "episode_batch": len(ep_rewards), "steps": steps,
+                "mean_step_reward": round(ep_rewards[-1], 5),
+                "mean_final_incremental_iou": round(ep_ious[-1], 5),
+                "wall_s": round(time.perf_counter() - t_start, 1),
+            }
+            if len(ep_rewards) % eval_every == 0 and steps >= start_steps:
+                er, ei = run_eval()
+                evals.append({"steps": steps,
+                              "eval_return": round(er, 3),
+                              "eval_incremental_iou": round(ei, 5)})
+                row.update(evals[-1])
             if ep_log:
                 with open(ep_log, "a") as f:
-                    f.write(json.dumps({
-                        "episode_batch": len(ep_rewards), "steps": steps,
-                        "mean_step_reward": round(ep_rewards[-1], 5),
-                        "mean_final_iou": round(ep_ious[-1], 5),
-                        "wall_s": round(time.perf_counter() - t_start, 1),
-                    }) + "\n")
+                    f.write(json.dumps(row) + "\n")
             obs = venv.reset()
             ep_t = 0
             ep_r = jnp.zeros((batch,))
+
+    save_dir = os.environ.get("PLB_STATERL_SAVE")
+    if save_dir:
+        if algo_name == "td3":
+            algo.save(os.path.join(save_dir, "td3"))
+        else:
+            algo.save_models(save_dir)
 
     total = time.perf_counter() - t_start
     steady_sps = ((steps - t_steady[1]) / (time.perf_counter() - t_steady[0])
@@ -117,6 +178,7 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     last_q = float(np.mean(ep_rewards[-k:])) if ep_rewards else None
     iou_first = float(np.mean(ep_ious[:k])) if ep_ious else None
     iou_last = float(np.mean(ep_ious[-k:])) if ep_ious else None
+    ek = max(len(evals) // 4, 1)
     print(json.dumps({
         "metric": f"state_{algo_name}_vec_learning",
         "value": round(steps / total, 3),
@@ -133,12 +195,18 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
                                           if first_q is not None else None),
             "mean_reward_last_quarter": (round(last_q, 4)
                                          if last_q is not None else None),
-            "final_iou_first_quarter": (round(iou_first, 4)
-                                        if iou_first is not None else None),
-            "final_iou_last_quarter": (round(iou_last, 4)
-                                       if iou_last is not None else None),
-            "reward_improved": (bool(last_q > first_q)
-                                if ep_rewards else None),
+            "explore_incremental_iou_first_quarter": (
+                round(iou_first, 4) if iou_first is not None else None),
+            "explore_incremental_iou_last_quarter": (
+                round(iou_last, 4) if iou_last is not None else None),
+            "evals": evals,
+            "eval_iou_first_quarter": (round(float(np.mean(
+                [e["eval_incremental_iou"] for e in evals[:ek]])), 5)
+                if evals else None),
+            "eval_iou_last_quarter": (round(float(np.mean(
+                [e["eval_incremental_iou"] for e in evals[-ek:]])), 5)
+                if evals else None),
+            "obs_norm": obs_norm,
             "batch": batch, "start_steps": start_steps,
             "sac_update_batch": sac_batch, "updates_per_batch": n_updates,
         },

@@ -283,6 +283,48 @@ def sample_device_batch(bufs, size, batch_size, key):
     return tuple(b[idx] for b in bufs)
 
 
+def normalize_obs(x, stats, clip: float = 10.0):
+    """(x - mean) * inv_std, clipped (VecNormalize semantics — the same
+    normalization the PPO loop applies host-side, run_ppo.RunningMeanStd)."""
+    mean, inv_std = stats
+    return jnp.clip((x - mean) * inv_std, -clip, clip)
+
+
+class DeviceObsRMS:
+    """Running observation mean/var kept as device arrays (parallel-merge
+    Welford, identical update rule to ppo.run_ppo.RunningMeanStd). One tiny
+    jitted dispatch per collected batch; stats() feeds the in-graph
+    normalization of SAC.update_many_device / TD3.train_many_device, so raw
+    observations never cross the host boundary for normalization."""
+
+    def __init__(self, dim: int):
+        self.mean = jnp.zeros((dim,), jnp.float32)
+        self.var = jnp.ones((dim,), jnp.float32)
+        self.count = 1e-4
+        self._merge = jax.jit(self._merge_impl)
+
+    @staticmethod
+    def _merge_impl(mean, var, count, x):
+        bmean, bvar = x.mean(0), x.var(0)
+        bcount = x.shape[0]
+        delta = bmean - mean
+        tot = count + bcount
+        new_mean = mean + delta * bcount / tot
+        m_a = var * count
+        m_b = bvar * bcount
+        new_var = (m_a + m_b + delta**2 * count * bcount / tot) / tot
+        return new_mean, new_var
+
+    def update(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        self.mean, self.var = self._merge(
+            self.mean, self.var, jnp.float32(self.count), x)
+        self.count += x.shape[0]
+
+    def stats(self):
+        return self.mean, 1.0 / (jnp.sqrt(self.var) + 1e-8)
+
+
 def soft_update(target_params, online_params, tau: float):
     return jax.tree.map(
         lambda t, o: t * (1.0 - tau) + o * tau, target_params, online_params

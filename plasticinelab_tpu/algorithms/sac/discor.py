@@ -30,12 +30,15 @@ class DisCor(SAC):
                  **kwargs):
         super().__init__(state_dim, action_dim, **kwargs)
         if self.visual:
+            # conv torso stands in for the reference's 3-layer MLP (the
+            # reference has no visual path); see PARITY.md
             from ..common import VisualTwinQ
 
             self.err_def = VisualTwinQ()
             obs = jnp.zeros((1,) + tuple(state_dim))
         else:
-            self.err_def = TwinQ()
+            # reference error_hidden_units=[256, 256, 256] (run_discor.py)
+            self.err_def = TwinQ(hidden=(256, 256, 256))
             obs = jnp.zeros((1, state_dim))
         key = jax.random.PRNGKey(kwargs.get("seed", 0) + 123)
         act = jnp.zeros((1, action_dim))
@@ -120,11 +123,13 @@ class DisCor(SAC):
             q_target=soft_update(ts.q_target, q, self.tau), q_opt=qopt,
             log_alpha=log_alpha, alpha_opt=aopt,
         )
+        # tau tracks the ONLINE error net's current mean prediction on
+        # (s, a) (reference discor.py curr_errs.detach().mean())
         new_ds = DisCorState(
             err=err, err_target=soft_update(ds.err_target, err, self.tau),
             err_opt=eopt,
-            tau1=ds.tau1 * (1 - self.tau) + self.tau * jnp.mean(tgt_e1),
-            tau2=ds.tau2 * (1 - self.tau) + self.tau * jnp.mean(tgt_e2),
+            tau1=ds.tau1 * (1 - self.tau) + self.tau * jnp.mean(curr_e1),
+            tau2=ds.tau2 * (1 - self.tau) + self.tau * jnp.mean(curr_e2),
         )
         return new_ts, new_ds, qloss
 
@@ -139,8 +144,8 @@ class DisCor(SAC):
         return loss
 
     def _update_many_device_discor_impl(self, ts, ds, bufs, size, key,
-                                        batch_size, n):
-        from ..common import sample_device_batch
+                                        batch_size, n, obs_stats=None):
+        from ..common import normalize_obs, sample_device_batch
 
         def body(carry, _):
             ts, ds, key = carry
@@ -150,6 +155,9 @@ class DisCor(SAC):
                 batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
                           batch[2].astype(jnp.float32) / 255.0)
                          + batch[3:])
+            elif obs_stats is not None:
+                batch = ((normalize_obs(batch[0], obs_stats), batch[1],
+                          normalize_obs(batch[2], obs_stats)) + batch[3:])
             ts, ds, loss = self._update_discor_impl(ts, ds, batch, ku)
             return (ts, ds, key), loss
 
@@ -157,14 +165,16 @@ class DisCor(SAC):
             body, (ts, ds, key), None, length=n)
         return ts, ds, losses[-1], key
 
-    def update_many_device(self, replay_buffer, batch_size=256, n=1):
+    def update_many_device(self, replay_buffer, batch_size=256, n=1,
+                           obs_stats=None):
         """DisCor version of SAC.update_many_device: n scanned updates with
         in-graph minibatch sampling, threading the error-model state too —
         so `--algo discor --vec_envs B` keeps the device-resident loop."""
         self.state, self.dstate, loss, self._key = (
             self._update_many_device_discor(
                 self.state, self.dstate, replay_buffer.arrays(),
-                jnp.asarray(replay_buffer.size), self._key, batch_size, n))
+                jnp.asarray(replay_buffer.size), self._key, batch_size, n,
+                obs_stats))
         return loss
 
     def save_models(self, path):
@@ -180,5 +190,12 @@ class DisCor(SAC):
         import pickle
 
         super().load_models(path)
-        with open(os.path.join(path, "discor_state.pkl"), "rb") as f:
-            self.dstate = jax.device_put(pickle.load(f))
+        dpath = os.path.join(path, "discor_state.pkl")
+        if os.path.exists(dpath):
+            with open(dpath, "rb") as f:
+                self.dstate = jax.device_put(pickle.load(f))
+        else:
+            # checkpoint written by plain SAC (or pre-DisCor): keep the
+            # freshly-initialized error model, the SAC weights loaded fine
+            print(f"[discor] no discor_state.pkl under {path}; "
+                  "keeping fresh error model")

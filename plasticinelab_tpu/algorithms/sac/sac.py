@@ -184,8 +184,9 @@ class SAC:
             self.state, batches, self._key)
         return loss
 
-    def _update_many_device_impl(self, ts, bufs, size, key, batch_size, n):
-        from ..common import sample_device_batch
+    def _update_many_device_impl(self, ts, bufs, size, key, batch_size, n,
+                                 obs_stats=None):
+        from ..common import normalize_obs, sample_device_batch
 
         def body(carry, _):
             ts, key = carry
@@ -195,21 +196,30 @@ class SAC:
                 batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
                           batch[2].astype(jnp.float32) / 255.0)
                          + batch[3:])
+            elif obs_stats is not None:
+                # raw obs in the buffer, current running stats at update
+                # time (VecNormalize-style; reference run_ppo.py analog)
+                batch = ((normalize_obs(batch[0], obs_stats), batch[1],
+                          normalize_obs(batch[2], obs_stats)) + batch[3:])
             ts, loss, key = self._update_impl(ts, batch, key)
             return (ts, key), loss
 
         (ts, key), losses = jax.lax.scan(body, (ts, key), None, length=n)
         return ts, losses[-1], key
 
-    def update_many_device(self, replay_buffer, batch_size=256, n=1):
+    def update_many_device(self, replay_buffer, batch_size=256, n=1,
+                           obs_stats=None):
         """n gradient updates in ONE dispatch with minibatches sampled
         IN-GRAPH from a DeviceReplayBuffer — no host round-trip for the
         training data (the host ReplayBuffer path moves ~n*batch*obs_dim
         floats over the device tunnel per call, which dominates the whole
-        vectorized RL loop on this machine)."""
+        vectorized RL loop on this machine). obs_stats: optional
+        (mean, inv_std) arrays — buffers hold RAW obs, minibatches are
+        normalized in-graph with the stats current at update time."""
         self.state, loss, self._key = self._update_many_device(
             self.state, replay_buffer.arrays(),
-            jnp.asarray(replay_buffer.size), self._key, batch_size, n)
+            jnp.asarray(replay_buffer.size), self._key, batch_size, n,
+            obs_stats)
         return loss
 
     def save_models(self, path):

@@ -167,8 +167,8 @@ class TD3:
         return loss
 
     def _train_many_device_impl(self, ts: TD3State, bufs, size, key,
-                                batch_size, n):
-        from ..common import sample_device_batch
+                                batch_size, n, obs_stats=None):
+        from ..common import normalize_obs, sample_device_batch
 
         def body(carry, _):
             ts, key = carry
@@ -178,19 +178,25 @@ class TD3:
                 batch = ((batch[0].astype(jnp.float32) / 255.0, batch[1],
                           batch[2].astype(jnp.float32) / 255.0)
                          + batch[3:])
+            elif obs_stats is not None:
+                batch = ((normalize_obs(batch[0], obs_stats), batch[1],
+                          normalize_obs(batch[2], obs_stats)) + batch[3:])
             ts, loss = self._update_impl(ts, batch, sub)
             return (ts, key), loss
 
         (ts, key), losses = jax.lax.scan(body, (ts, key), None, length=n)
         return ts, losses[-1], key
 
-    def train_many_device(self, replay_buffer, batch_size=256, n=1):
+    def train_many_device(self, replay_buffer, batch_size=256, n=1,
+                          obs_stats=None):
         """n gradient updates in ONE dispatch with minibatches sampled
         IN-GRAPH from a Device(Image)ReplayBuffer — no host round-trip for
-        the training data (see SAC.update_many_device)."""
+        the training data (see SAC.update_many_device). obs_stats: optional
+        (mean, inv_std) for in-graph normalization of raw stored obs."""
         self.state, loss, self._key = self._train_many_device(
             self.state, replay_buffer.arrays(),
-            jnp.asarray(replay_buffer.size), self._key, batch_size, n)
+            jnp.asarray(replay_buffer.size), self._key, batch_size, n,
+            obs_stats)
         return loss
 
     # model save/load (reference TD3.py:152-159)
