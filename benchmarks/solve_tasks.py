@@ -1,0 +1,95 @@
+"""Benchmark-wide differentiable-physics solve sweep: run the device-resident
+action solver on every benchmark family (the reference solver is task-generic,
+plb/optimizer/solver.py:86-101) and record per-task descent — final/best loss,
+initial loss, final incremental IoU, wallclock. This is the proof that the
+trajectory gradients are *useful* (not merely finite) benchmark-wide.
+
+Usage: python benchmarks/solve_tasks.py [n_iters] [task1 task2 ...]
+       (default 100 iterations, all 10 families' -v1 variant)
+Writes SOLVE_TASKS_r04.json at the repo root and prints one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TASKS = ["Move-v1", "Torus-v1", "Rope-v1", "Writer-v1", "Pinch-v1",
+         "Rollingpin-v1", "Chopsticks-v1", "Table-v1", "TripleMove-v1",
+         "Assembly-v1"]
+
+
+def solve_one(task, n_iters):
+    from plasticinelab_tpu.envs import make
+    from plasticinelab_tpu.optimizer.solver import Solver
+
+    env = make(task)
+    env.reset()
+    te = env.unwrapped.taichi_env
+    T = env._max_episode_steps
+    solver = Solver(
+        te, None, None, n_iters=n_iters, softness=666.0, horizon=T,
+        **{"optim.lr": 0.1, "optim.type": "Adam", "init_range": 0.0001},
+    )
+    t0 = time.perf_counter()
+    best_action = solver.solve_device(chunk=10)
+    wall = time.perf_counter() - t0
+
+    # replay the best actions through the env for the final metric
+    env.reset()
+    last_iou = float("nan")
+    for act in best_action:
+        _, _, _, _, info = env.step(act)
+        last_iou = info["incremental_iou"]
+    return {
+        "task": task,
+        "n_iters": n_iters,
+        "wall_s": round(wall, 1),
+        "initial_loss": round(float(solver.iter_losses[0]), 3),
+        "final_loss": round(float(solver.iter_losses[-1]), 3),
+        "best_loss": round(float(solver.best_loss), 3),
+        "loss_decreased": bool(solver.best_loss
+                               < solver.iter_losses[0] * 0.999),
+        "final_incremental_iou": round(last_iou, 4),
+    }
+
+
+def main(n_iters=100, tasks=None):
+    tasks = tasks or TASKS
+    rows = []
+    for task in tasks:
+        try:
+            row = solve_one(task, n_iters)
+        except Exception as e:  # keep the sweep alive, record the failure
+            row = {"task": task, "error": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    ok = [r for r in rows if "error" not in r]
+    improved = [r for r in ok if r["loss_decreased"]]
+    nonzero_iou = [r for r in ok if r["final_incremental_iou"] > 0.01]
+    out = {
+        "metric": "solve_sweep_tasks_improved",
+        "value": len(improved),
+        "unit": f"/{len(tasks)} tasks with decreased loss "
+                f"({n_iters} device Adam iters each)",
+        "vs_baseline": None,
+        "extra": {
+            "tasks_nonzero_incremental_iou": len(nonzero_iou),
+            "total_wall_s": round(sum(r.get("wall_s", 0) for r in rows), 1),
+            "rows": rows,
+        },
+    }
+    with open(os.path.join(REPO, "SOLVE_TASKS_r04.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in ("metric", "value", "unit")}))
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    n = int(args[0]) if args else 100
+    main(n, args[1:] or None)

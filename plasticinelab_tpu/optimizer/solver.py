@@ -170,14 +170,18 @@ class Solver:
                 info = losses_mod.loss_from_crop(
                     rscene, loss_state, gm, off, st)
                 comps = jnp.stack([info["loss"], info["sdf_loss"],
-                                   info["density_loss"], info["contact_loss"]])
+                                   info["density_loss"], info["contact_loss"],
+                                   jax.lax.stop_gradient(info["iou"])])
                 return st, comps
 
             if rscene.simulator.remat in ("env_step", "both"):
                 step_fn = jax.checkpoint(step_fn)
             _, comps = jax.lax.scan(step_fn, state0, actions)
-            comps = jnp.sum(comps, axis=0)
-            return comps[0], comps
+            # components sum over the horizon; iou is the FINAL step's
+            # (the benchmark metric is end-of-episode, loss.py:293)
+            out = jnp.concatenate([jnp.sum(comps[:, :4], axis=0),
+                                   comps[-1:, 4]])
+            return out[0], out
 
         lr = dtype(ocfg.lr)
         b1, b2, eps = dtype(ocfg.beta_1), dtype(ocfg.beta_2), dtype(ocfg.epsilon)
@@ -230,6 +234,7 @@ class Solver:
 
         carry = (actions, m, v, it0, best_loss, best_actions)
         self.iter_losses = []
+        self.iter_ious = []  # final-step raw IoU per iteration
         self.chunk_seconds = []
         n_chunks = (cfg.n_iters - start_iter + chunk - 1) // chunk
         done = start_iter
@@ -244,17 +249,20 @@ class Solver:
             carry, comps = run_chunk(carry)
             jax.block_until_ready(comps)
             self.chunk_seconds.append(_time.perf_counter() - t0)
-            comps = np.asarray(comps, np.float64)  # (n, 4)
+            comps = np.asarray(comps, np.float64)  # (n, 5)
             self.iter_losses.extend(comps[:, 0].tolist())
+            self.iter_ious.extend(comps[:, 4].tolist())
             done += n
             if self.logger is not None:
                 # one logger episode per iteration, like the host loop
-                # (iou is not computed inside the device scan -> 0.0)
-                for L, S, D, C in comps:
+                init_iou, target_iou = env._init_iou, env._target_iou
+                for L, S, D, C, I in comps:
+                    inc = max(min((I - init_iou)
+                                  / (target_iou - init_iou), 1.0), 0.0)
                     self.logger.reset()
                     self.logger.step(None, None, -L, None, True, {
                         "loss": L, "sdf_loss": S, "density_loss": D,
-                        "contact_loss": C, "incremental_iou": 0.0})
+                        "contact_loss": C, "incremental_iou": inc})
             if checkpoint_dir:
                 ckpt.save(
                     os.path.join(checkpoint_dir, f"ckpt_{done}.pkl"),

@@ -102,6 +102,10 @@ class VecPlasticineEnv:
             target_density = np.load(
                 cand if os.path.exists(cand) else target_path)
         self.loss_state = losses_mod.make_loss_state(scene, target_density)
+        # incremental-IoU normalizer: IoU of the goal with itself
+        # (reference loss.py:294 target_iou semantics)
+        td = self.loss_state.target_density
+        self._target_iou = float(losses_mod.iou(td, td))
 
         base = initial_state(scene, particles)
         key = jax.random.PRNGKey(seed)
@@ -160,7 +164,8 @@ class VecPlasticineEnv:
 
         def one_loss(state):
             info = losses_mod.loss_and_components(scene, loss_state, state)
-            return info["loss"], _obs_in_graph(scene, state)
+            iou0 = losses_mod.iou(info["grid_m"], loss_state.target_density)
+            return info["loss"], _obs_in_graph(scene, state), iou0
 
         if mpm.use_rows_path(scene, jnp.float32):
             # explicit batched Pallas kernels — vmap cannot batch the SMEM
@@ -187,8 +192,8 @@ class VecPlasticineEnv:
 
             def loss_b(states, key):
                 key, sub = jax.random.split(key)
-                loss, _ = state_loss_b(states)
-                return loss, obs_render_b(states, sub), key
+                loss, _, iou0 = state_loss_b(states)
+                return loss, obs_render_b(states, sub), iou0, key
 
         if self._shard is not None:
             rep = NamedSharding(mesh, P())
@@ -198,13 +203,13 @@ class VecPlasticineEnv:
                     step_b, in_shardings=(sh, sh, rep, rep),
                     out_shardings=(sh, sh, sh, sh, rep))
                 self._loss_b = jax.jit(loss_b, in_shardings=(sh, rep),
-                                       out_shardings=(sh, sh, rep))
+                                       out_shardings=(sh, sh, sh, rep))
             else:
                 self._step_b = jax.jit(
                     step_b, in_shardings=(sh, sh, rep),
                     out_shardings=(sh, sh, sh, sh))
                 self._loss_b = jax.jit(loss_b, in_shardings=(sh,),
-                                       out_shardings=(sh, sh))
+                                       out_shardings=(sh, sh, sh))
         else:
             self._step_b = jax.jit(step_b)
             self._loss_b = jax.jit(loss_b)
@@ -223,10 +228,12 @@ class VecPlasticineEnv:
     def reset(self):
         self.states = self._init_states
         if self.obs_mode == "rgb":
-            start_loss, obs, self._key = self._loss_b(self.states, self._key)
+            start_loss, obs, init_iou, self._key = self._loss_b(
+                self.states, self._key)
         else:
-            start_loss, obs = self._loss_b(self.states)
+            start_loss, obs, init_iou = self._loss_b(self.states)
         self._start_loss = start_loss
+        self._init_iou = init_iou
         self._t = 0
         return obs
 
@@ -242,4 +249,8 @@ class VecPlasticineEnv:
         reward = self._start_loss - loss
         self._t += 1
         done = jnp.full((self.batch,), self._t >= self.horizon)
-        return obs, reward, done, {"loss": loss, "iou": iou}
+        # benchmark headline metric (reference loss.py:293-294)
+        inc = jnp.clip((iou - self._init_iou)
+                       / (self._target_iou - self._init_iou), 0.0, 1.0)
+        return obs, reward, done, {"loss": loss, "iou": iou,
+                                   "incremental_iou": inc}

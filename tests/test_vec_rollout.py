@@ -85,6 +85,52 @@ def test_vec_matches_single_env_semantics():
                                rtol=2e-4, atol=1e-5)
 
 
+def test_vec_incremental_iou_matches_host_env(tmp_path):
+    """VecPlasticineEnv info["incremental_iou"] equals the host PhysicsEnv's
+    compute_loss incremental_iou (the benchmark headline metric, reference
+    loss.py:293-294) for the same scene / target / actions — vec-path RL
+    logs are directly comparable to the benchmark (round-3 verdict item 4)."""
+    from plasticinelab_tpu.config.spec import ShapeSpec
+    from plasticinelab_tpu.engine.sim import PhysicsEnv
+
+    sim = SimulatorSpec(quality=0.25, n_particles=64, dtype="float32")
+    prim = PrimitiveSpec(shape="Sphere", radius=0.08,
+                         init_pos=(0.45, 0.5, 0.5), friction=0.9,
+                         action_dim=3, action_scale=(0.01,) * 3)
+    shape = ShapeSpec(shape="sphere", init_pos=(0.55, 0.5, 0.5), radius=0.06,
+                      n_particles=64)
+    G = sim.n_grid
+    target = np.zeros((G, G, G))
+    target[6:12, 5:11, 6:12] = sim.p_mass * 4
+    tpath = tmp_path / "goal.npy"
+    np.save(tpath, target)
+    scene = SceneSpec(
+        simulator=sim, primitives=(prim,), shapes=(shape,),
+        env=EnvSpec(loss=LossSpec(target_path=str(tpath)),
+                    n_observed_particles=16))
+
+    host = PhysicsEnv(scene)
+    host.initialize()
+    ve = VecPlasticineEnv(None, batch=2, scene=scene, jitter=0.0,
+                          target_density=target,
+                          particles=np.asarray(host.init_particles),
+                          horizon=4)
+    ve.reset()
+    assert abs(ve._target_iou - host._target_iou) < 1e-5
+
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        a = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+        host.step(a)
+        hinfo = host.compute_loss()
+        _, _, _, vinfo = ve.step(np.tile(a, (2, 1)))
+    vinc = np.asarray(vinfo["incremental_iou"])
+    assert vinc.shape == (2,)
+    np.testing.assert_allclose(vinc[0], hinfo["incremental_iou"],
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(vinc[0], vinc[1], atol=1e-6)  # jitter=0
+
+
 def test_sac_consumes_vec_rollout(vec_env):
     """A SAC learner updates from transitions collected by the vectorized
     env — the TPU-native data path (VERDICT r1 item 10)."""
