@@ -63,12 +63,18 @@ def batch_states(state: SimState, batch: int, jitter: float = 0.0,
 
 
 def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
-                               loss_state, mesh: Mesh, axis_name: str = "env"):
+                               loss_state, mesh: Mesh, axis_name: str = "env",
+                               out_mode: str = "force"):
     """Compile d(mean rollout loss)/d(actions) for a batch of envs sharded
     over `mesh`. actions: (B, T, action_dim); states: SimState with leading B.
 
     Per-env-step jax.checkpoint bounds HBM at ~one substep's activations per
     step regardless of horizon (SURVEY.md §5 long-horizon strategy).
+
+    out_mode: "force" pins out_shardings to (replicated loss, batch-sharded
+    grad); "auto" leaves them to XLA's propagation — used by the sharding
+    test / dryrun to PROVE the compute partitioned (if the program silently
+    replicated, propagation would not land P(axis) on the grad output).
     """
 
     import dataclasses
@@ -156,9 +162,11 @@ def build_batched_rollout_grad(scene: SceneSpec, mats: Materials,
 
     shard_b = NamedSharding(mesh, P(axis_name))      # shard leading batch axis
     replicated = NamedSharding(mesh, P())
+    kw = ({"out_shardings": (replicated, shard_b)} if out_mode == "force"
+          else {})
     return jax.jit(
         vg,
         in_shardings=(shard_b, shard_b, replicated),
-        out_shardings=(replicated, shard_b),
+        **kw,
         **_compiler_options(),
     )

@@ -28,9 +28,14 @@ def test_batch_states_shapes_and_jitter():
     assert not np.allclose(np.asarray(batched.x[0]), np.asarray(batched.x[1]))
 
 
-def test_dryrun_multichip_8_devices():
+@pytest.mark.slow
+def test_dryrun_multichip_8_devices(monkeypatch):
     import __graft_entry__
 
+    # tiny scale keeps the default suite fast; the driver runs the default
+    # "mini" scale (32^3, 1024 particles) and PLB_DRYRUN_SCALE=move exists
+    # for the full-scale artifact run
+    monkeypatch.setenv("PLB_DRYRUN_SCALE", "tiny")
     __graft_entry__.dryrun_multichip(8)
 
 
