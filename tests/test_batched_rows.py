@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e equivalence tier
+
 from plasticinelab_tpu.config.spec import (
     PrimitiveSpec, SceneSpec, ShapeSpec, SimulatorSpec,
 )

@@ -59,6 +59,7 @@ def test_p2g_g2p_match_dense():
     np.testing.assert_allclose(np.asarray(nC_l), np.asarray(nC_d), atol=1e-11)
 
 
+@pytest.mark.slow
 def test_p2g_gradients_match_dense():
     scene = _scene(n=150)
     D = 40

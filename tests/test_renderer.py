@@ -115,6 +115,7 @@ def test_probe_plasticine_march():
     assert normal[0, 2] > 0.3  # outward-ish toward the ray
 
 
+@pytest.mark.slow
 def test_compacted_march_equals_packed():
     """_march_compacted (chunked actives-first processing) must reproduce
     _march_packed exactly — same hits, same distances."""

@@ -10,6 +10,7 @@ are checked for finiteness and descent instead.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from plasticinelab_tpu.config.spec import PrimitiveSpec, SceneSpec, SimulatorSpec
 from plasticinelab_tpu.engine import losses as L
@@ -68,6 +69,7 @@ def _rollout_fn(scene, mats, loss_state, checkpoint=True):
     return rollout
 
 
+@pytest.mark.slow
 def test_checkpointed_equals_uncheckpointed_smooth():
     """The reference notebook's oracle (long_term_gradient.ipynb cell 5) in
     the smooth regime: remat must not change the gradient."""
@@ -105,6 +107,7 @@ def test_trajectory_gradient_matches_fd_smooth():
         np.testing.assert_allclose(g[t, i], fd, rtol=5e-4, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_contact_rich_gradients_finite():
     """Contact-rich rollout (manipulator inside the cloud, large random
     actions, 20 steps): gradients exist and are finite in f64 and f32.

@@ -39,7 +39,8 @@ def _init_actions(env, horizon=3):
     return rng.uniform(-1e-4, 1e-4, (horizon, env.scene.action_dim))
 
 
-@pytest.mark.parametrize("optim_type", ["Adam", "Momentum"])
+@pytest.mark.parametrize("optim_type", [
+    "Adam", pytest.param("Momentum", marks=pytest.mark.slow)])
 def test_device_solver_matches_host(env, optim_type):
     init = _init_actions(env)
     host = Solver(env, None, None, n_iters=4, horizon=3,
@@ -60,6 +61,7 @@ def test_device_solver_matches_host(env, optim_type):
     np.testing.assert_allclose(dev.best_loss, host.best_loss, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_device_solver_checkpoint_resume(env):
     init = _init_actions(env)
     kw = {"optim.lr": 0.05, "optim.type": "Adam"}
@@ -81,6 +83,7 @@ def test_device_solver_checkpoint_resume(env):
     np.testing.assert_allclose(best, full_best, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_device_solver_nn_matches_host(env):
     from plasticinelab_tpu.engine.nn import MLPPolicy
     from plasticinelab_tpu.optimizer.solver_nn import SolverNN

@@ -32,6 +32,7 @@ def _args(num_steps):
     return types.SimpleNamespace(env_name=None, seed=0, num_steps=num_steps)
 
 
+@pytest.mark.slow
 def test_td3_consumes_vec_batch(tmp_path):
     from plasticinelab_tpu.algorithms.td3.run_td3 import train_td3_vec
     from plasticinelab_tpu.algorithms.td3.td3 import TD3
@@ -43,6 +44,7 @@ def test_td3_consumes_vec_batch(tmp_path):
     assert out is policy  # ran updates past warmup without error
 
 
+@pytest.mark.slow
 def test_sac_consumes_vec_batch(tmp_path):
     from plasticinelab_tpu.algorithms.sac.run_sac import train_vec
     from plasticinelab_tpu.algorithms.sac.sac import SAC
@@ -86,6 +88,7 @@ def _tiny_rgb_venv(batch=2, horizon=3, res=16):
                             image_obs_spp=1)
 
 
+@pytest.mark.slow
 def test_vec_learners_rgb(tmp_path):
     """SAC, TD3 and PPO all consume a B>1 rgb VecPlasticineEnv batch —
     batched visual-observation collection (BASELINE configs[3])."""

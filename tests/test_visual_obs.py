@@ -132,6 +132,7 @@ def test_visual_ppo_update(rgb_env):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_visual_train_loops_end_to_end(rgb_env, tmp_path):
     """run_td3 / run_ppo consume the rgb env end to end (wiring: image
     replay buffer, obs scaling, conv agents) on a tiny budget."""
@@ -153,6 +154,7 @@ def test_visual_train_loops_end_to_end(rgb_env, tmp_path):
     train_ppo(rgb_env, str(tmp_path / "ppo"), _NullLogger(), args)
 
 
+@pytest.mark.slow
 def test_obs_fn_vmap_matches_single():
     """The in-graph observation render (Renderer.build_obs_fn) is
     vmappable: batched output equals per-env application."""
