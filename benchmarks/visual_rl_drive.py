@@ -90,7 +90,9 @@ def main(num_steps=1500, env_name="Move-v1"):
             "episodes": len(ep_rewards),
             "mean_reward_first_quarter": round(first_q, 4),
             "mean_reward_last_quarter": round(last_q, 4),
-            "reward_improved": bool(last_q > first_q),
+            # no pass/fail boolean: quarter means on a handful of episodes
+            # are noise; the batched drive (visual_vec_drive.py) carries the
+            # eval curve that actually supports a learning claim
             "batch": batch, "start_steps": start_steps,
         },
     }))
