@@ -3,6 +3,7 @@
 normalization, GAE(0.95) with proper time limits, linear lr decay)."""
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -97,6 +98,26 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
     num_updates = max(num_env_steps // steps_per_update, 1)
     t0 = time.perf_counter()
 
+    # optional exploitation eval + JSONL log (same contract as the SAC/TD3
+    # drives): every eval_every updates run one mean-action episode over the
+    # B envs and log mean return + mean final-step incremental IoU — the
+    # benchmark's headline metric (reference loss.py:293-294)
+    ep_log = os.environ.get("PLB_PPO_EPLOG")
+    eval_every = int(os.environ.get("PLB_PPO_EVAL_EVERY", "0"))
+    evals = []
+
+    def run_eval():
+        eobs = norm_obs(np.asarray(venv.reset()))
+        ret = np.zeros(batch)
+        inc = None
+        for _ in range(horizon):
+            mean, _, _ = agent.net.apply(agent.state.params, eobs)
+            nxt, r, _, info = venv.step(np.clip(np.asarray(mean), -1, 1))
+            ret += np.asarray(r)
+            inc = info["incremental_iou"]
+            eobs = norm_obs(np.asarray(nxt))
+        return float(ret.mean()), float(np.asarray(inc).mean())
+
     for update in range(num_updates):
         agent.set_lr(agent.base_lr * (1 - update / num_updates))
         T, B = rollout_len, batch
@@ -151,6 +172,22 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
         dt = time.perf_counter() - t0
         print(f"[PPO vec] update {update + 1}/{num_updates} loss={loss:.4f} "
               f"({done_steps / dt:.1f} env steps/s, batch={batch})")
+        if eval_every and (update + 1) % eval_every == 0:
+            er, ei = run_eval()
+            evals.append({"steps": done_steps, "eval_return": round(er, 3),
+                          "eval_incremental_iou": round(ei, 5)})
+            print(f"[PPO vec] eval return={er:.2f} "
+                  f"incremental_iou={ei:.5f}")
+            if ep_log:
+                with open(ep_log, "a") as f:
+                    f.write(json.dumps(evals[-1]) + "\n")
+            # eval consumed the venv's in-flight episode: restart clean
+            raw = np.asarray(venv.reset())
+            if not visual:
+                ob_rms.update(raw)
+            obs = norm_obs(raw)
+            ep_t = 0
+            ret_acc[:] = 0.0
 
     import pickle
 

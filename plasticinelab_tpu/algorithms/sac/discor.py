@@ -110,13 +110,17 @@ class DisCor(SAC):
         policy = optax.apply_updates(ts.policy, pupd)
 
         def alpha_loss_fn(la):
+            # linear-in-log_alpha form, matching the reference and SAC
+            # (see sac.py alpha_loss_fn for the runaway analysis)
             return -jnp.mean(
-                jnp.exp(la) * jax.lax.stop_gradient(logp + self.target_entropy)
+                la * jax.lax.stop_gradient(logp + self.target_entropy)
             )
 
         _, agrad = jax.value_and_grad(alpha_loss_fn)(ts.log_alpha)
         aupd, aopt = self.alpha_tx.update(agrad, ts.alpha_opt)
         log_alpha = optax.apply_updates(ts.log_alpha, aupd)
+        # alpha cap — same stability guard as SAC (see sac.py)
+        log_alpha = jnp.clip(log_alpha, -9.2, self.log_alpha_max)
 
         new_ts = SACState(
             policy=policy, policy_opt=popt, q=q,

@@ -36,6 +36,8 @@ class SAC:
         self.gamma = gamma
         self.tau = target_update_coef
         self.target_entropy = -float(action_dim)
+        # cap for the entropy temperature (see _update_impl alpha clamp)
+        self.log_alpha_max = float(np.log(2.0))
 
         self.visual = isinstance(state_dim, (tuple, list))
         if self.visual:
@@ -138,13 +140,27 @@ class SAC:
         policy = optax.apply_updates(ts.policy, pupd)
 
         def alpha_loss_fn(la):
+            # Optimize in log-space with the LINEAR form the reference uses
+            # (discor/algorithm/sac.py:134-136: loss ∝ log_alpha, so
+            # d loss/d log_alpha is bounded by |logp + target_entropy|).
+            # The exp(la) form has gradient ∝ alpha itself — a positive
+            # entropy deficit then grows alpha exponentially (observed:
+            # alpha 0.2 → 3e5 in 50k steps, collapsing the policy).
             return -jnp.mean(
-                jnp.exp(la) * jax.lax.stop_gradient(logp + self.target_entropy)
+                la * jax.lax.stop_gradient(logp + self.target_entropy)
             )
 
         _, agrad = jax.value_and_grad(alpha_loss_fn)(ts.log_alpha)
         aupd, aopt = self.alpha_tx.update(agrad, ts.alpha_opt)
         log_alpha = optax.apply_updates(ts.log_alpha, aupd)
+        # Stability guard (deviation from reference, PARITY.md): cap alpha.
+        # Saturated-action optima (|a|→1 is genuinely optimal when pushing)
+        # make the tanh-corrected target entropy unreachable; alpha then
+        # ratchets up at the full Adam rate forever and the entropy term
+        # destroys the learned policy (probe: eval IoU 0.79 → 0.0 as alpha
+        # crossed ~1). The cap bounds the entropy weight at a level where
+        # exploitation still wins; healthy equilibria observed are ≤ 0.5.
+        log_alpha = jnp.clip(log_alpha, -9.2, self.log_alpha_max)
 
         q_target = soft_update(ts.q_target, q, self.tau)
         return SACState(

@@ -100,6 +100,35 @@ def test_sac_update_and_entropy_tuning():
     assert np.all(np.abs(d) <= 1.0)
 
 
+def test_sac_alpha_gradient_is_bounded():
+    """The entropy-temperature loss must be LINEAR in log_alpha (reference
+    discor/algorithm/sac.py:134-136): its gradient is then bounded by
+    |logp + target_entropy| regardless of alpha's current value. The exp
+    form has gradient ∝ alpha, which compounds into exponential runaway
+    (observed on-chip: alpha 0.2 → 3e5 over 50k env steps, policy collapse
+    — round-4 probe diagnosis). Pin the gradient's alpha-independence."""
+    import jax
+    import jax.numpy as jnp
+
+    from plasticinelab_tpu.algorithms.sac.sac import SAC
+
+    algo = SAC(state_dim=8, action_dim=3)
+    logp = jnp.asarray([-1.0, -2.0, 0.5])
+
+    def alpha_loss(la):
+        return -jnp.mean(la * jax.lax.stop_gradient(logp + algo.target_entropy))
+
+    g_small = jax.grad(alpha_loss)(jnp.asarray(0.0))    # alpha = 1
+    g_large = jax.grad(alpha_loss)(jnp.asarray(10.0))   # alpha = 22026
+    assert np.allclose(np.asarray(g_small), np.asarray(g_large))
+    # and the update path clamps a runaway temperature back to the cap
+    buf = _fill_buffer(8, 3)
+    big = algo.state._replace(log_alpha=jnp.asarray(10.0))
+    algo.state = big
+    algo.update(buf, batch_size=32, rng=np.random.default_rng(5))
+    assert float(algo.state.log_alpha) <= algo.log_alpha_max + 1e-6
+
+
 def test_sac_update_many_matches_semantics():
     """update_many(n) = n scanned update steps in one dispatch: state
     advances, loss finite, and explore still bounded."""
