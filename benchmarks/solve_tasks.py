@@ -68,6 +68,10 @@ def main(n_iters=100, tasks=None):
             row = {"task": task, "error": f"{type(e).__name__}: {e}"}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # stream per-task rows so an interrupted sweep still leaves evidence
+        with open(os.path.join(REPO, "benchmarks", "logs",
+                               "solve_tasks_rows.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     ok = [r for r in rows if "error" not in r]
     improved = [r for r in ok if r["loss_decreased"]]

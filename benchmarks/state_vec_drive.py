@@ -179,7 +179,7 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     iou_first = float(np.mean(ep_ious[:k])) if ep_ious else None
     iou_last = float(np.mean(ep_ious[-k:])) if ep_ious else None
     ek = max(len(evals) // 4, 1)
-    print(json.dumps({
+    out = ({
         "metric": f"state_{algo_name}_vec_learning",
         "value": round(steps / total, 3),
         "unit": f"env steps/s ({algo_name.upper()}, state obs, {env_name}, "
@@ -210,7 +210,12 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
             "batch": batch, "start_steps": start_steps,
             "sac_update_batch": sac_batch, "updates_per_batch": n_updates,
         },
-    }))
+    })
+    print(json.dumps(out))
+    out_path = os.environ.get("PLB_STATERL_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
