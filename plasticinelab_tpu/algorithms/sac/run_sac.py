@@ -186,7 +186,10 @@ def train_vec(env, algo, path, args, batch=8, horizon=50, venv=None,
         obs = nobs
         steps += batch
         if steps >= start_steps:
-            algo.update_many_device(replay, 256, n=1)
+            # reference cadence: ONE gradient update per collected env step
+            # (discor/agent.py update_interval=1) -> B scanned updates per
+            # venv.step, in one dispatch
+            algo.update_many_device(replay, 256, n=batch)
         if ep_t >= horizon:
             obs = venv.reset()
             ep_t = 0

@@ -181,7 +181,8 @@ def train_td3_vec(policy, old_args, path, batch=8, horizon=50, venv=None,
         obs = nobs
         steps += batch
         if steps >= start_timesteps:
-            policy.train_many_device(replay, 256, n=1)
+            # reference cadence: one gradient update per env step collected
+            policy.train_many_device(replay, 256, n=batch)
         if ep_t >= horizon:
             obs = venv.reset()
             ep_t = 0
