@@ -6,10 +6,10 @@ the batched TPU rollout path).
 Training cadence matches the reference agent loop (agent.py:94-111 +
 run_sac.py:30-38): start_steps=2500 uniform exploration, then ONE gradient
 update per collected env step (B scanned updates per venv.step), batch 256.
-On top of reference parity: VecNormalize-style running observation
-normalization (the reference's PPO path normalizes, its SAC/TD3 don't — the
-~1214-dim raw obs mixes [0,1] positions with larger velocities), applied
-in-graph at update time from raw stored obs.
+Optional (opt-in, PLB_STATERL_OBSNORM=1): VecNormalize-style running
+observation normalization applied in-graph at update time from raw stored
+obs — the reference's PPO path normalizes, its SAC/TD3 don't, so the
+default is OFF for reference parity.
 
 Every `eval_every` episode batches the drive runs one EXPLOITATION episode
 (mean-action policy, reference algo.exploit / agent.evaluate) and logs mean
@@ -25,7 +25,8 @@ Usage: python benchmarks/state_vec_drive.py [num_steps] [env_name] [batch]
 Env:   PLB_STATERL_EPLOG=path  append per-episode JSONL rows
        PLB_STATERL_UPDATES=n   gradient updates per collected batch
                                (default B = reference's 1 per env step)
-       PLB_STATERL_OBSNORM=0   disable obs normalization (reference parity)
+       PLB_STATERL_OBSNORM=1   enable obs normalization (off by default =
+                               reference parity for SAC/TD3)
        PLB_STATERL_EVAL_EVERY=k  exploit-eval every k episode batches
        PLB_STATERL_SAVE=path   save final models under path
 """
@@ -59,12 +60,22 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
         algo = cls(state_dim=venv.obs_dim, action_dim=venv.action_dim,
                    gamma=0.99, policy_lr=3e-4, q_lr=3e-4, entropy_lr=3e-4,
                    target_update_coef=0.005, seed=0)
+        # PLB_STATERL_ALPHA_CAP: "none" = uncapped (exact reference alpha
+        # dynamics), else a float cap (default 2.0, sac.py)
+        cap_env = os.environ.get("PLB_STATERL_ALPHA_CAP")
+        if cap_env is not None:
+            algo.log_alpha_max = (float("inf")
+                                  if cap_env.lower() in ("none", "inf")
+                                  else float(np.log(float(cap_env))))
     # 2^18 transitions x obs_dim~1214 x 2 obs arrays = ~2.5 GB HBM
     replay = DeviceReplayBuffer(venv.obs_dim, venv.action_dim,
                                 max_size=1 << 18)
     rng = np.random.default_rng(0)
 
-    obs_norm = os.environ.get("PLB_STATERL_OBSNORM", "1") != "0"
+    # default OFF = exact reference parity (the reference's SAC/TD3 feed raw
+    # obs); opt in with PLB_STATERL_OBSNORM=1. All committed artifacts since
+    # r04 were produced with it off.
+    obs_norm = os.environ.get("PLB_STATERL_OBSNORM", "0") == "1"
     rms = DeviceObsRMS(venv.obs_dim) if obs_norm else None
 
     # reference run_sac.py:35: start_steps=2500 uniform exploration
@@ -100,6 +111,10 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
     ep_rewards = []   # per-episode-batch mean step reward (exploration)
     ep_ious = []      # per-episode-batch mean final-step incremental IoU
     evals = []        # (steps, eval_return, eval_incremental_iou)
+    # Best-eval policy protection (round-4 verdict: the probe solved the
+    # scene then destroyed the policy; nothing kept the result). JAX params
+    # are immutable — snapshotting is keeping a reference, zero copies.
+    best = {"iou": -1.0, "state": None, "steps": 0}
     steps = 0
     t_start = time.perf_counter()
     t_steady = None
@@ -150,18 +165,41 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
                 "mean_final_incremental_iou": round(ep_ious[-1], 5),
                 "wall_s": round(time.perf_counter() - t_start, 1),
             }
+            if algo_name != "td3":  # entropy-temperature diagnostic
+                row["alpha"] = round(float(jnp.exp(algo.state.log_alpha)), 5)
             if len(ep_rewards) % eval_every == 0 and steps >= start_steps:
                 er, ei = run_eval()
                 evals.append({"steps": steps,
                               "eval_return": round(er, 3),
                               "eval_incremental_iou": round(ei, 5)})
                 row.update(evals[-1])
+                if ei > best["iou"]:
+                    best.update(iou=ei, state=algo.state, steps=steps)
             if ep_log:
                 with open(ep_log, "a") as f:
                     f.write(json.dumps(row) + "\n")
             obs = venv.reset()
             ep_t = 0
             ep_r = jnp.zeros((batch,))
+
+    # Restore the best-eval policy (the reference trains past its peak too;
+    # we additionally KEEP the peak) and verify it still evaluates.
+    best_restored = None
+    if best["state"] is not None:
+        final_state = algo.state
+        algo.state = best["state"]
+        er, ei = run_eval()
+        best_restored = {"steps": best["steps"],
+                         "best_eval_incremental_iou": round(best["iou"], 5),
+                         "restored_eval_return": round(er, 3),
+                         "restored_eval_incremental_iou": round(ei, 5)}
+        save_dir = os.environ.get("PLB_STATERL_SAVE")
+        if save_dir:  # save BOTH: best under best/, final at the root
+            if algo_name == "td3":
+                algo.save(os.path.join(save_dir, "best", "td3"))
+            else:
+                algo.save_models(os.path.join(save_dir, "best"))
+        algo.state = final_state
 
     save_dir = os.environ.get("PLB_STATERL_SAVE")
     if save_dir:
@@ -206,6 +244,7 @@ def main(num_steps=200_000, env_name="Move-v1", batch=32, algo_name="sac"):
             "eval_iou_last_quarter": (round(float(np.mean(
                 [e["eval_incremental_iou"] for e in evals[-ek:]])), 5)
                 if evals else None),
+            "best_eval": best_restored,
             "obs_norm": obs_norm,
             "batch": batch, "start_steps": start_steps,
             "sac_update_batch": sac_batch, "updates_per_batch": n_updates,

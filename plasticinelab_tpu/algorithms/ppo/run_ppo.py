@@ -105,6 +105,9 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
     ep_log = os.environ.get("PLB_PPO_EPLOG")
     eval_every = int(os.environ.get("PLB_PPO_EVAL_EVERY", "0"))
     evals = []
+    # best-eval policy protection (same contract as the SAC/TD3 drives):
+    # keep a reference to the peak-eval params, restore + re-verify at end
+    best = {"iou": -1.0, "state": None, "steps": 0}
 
     def run_eval():
         eobs = norm_obs(np.asarray(venv.reset()))
@@ -176,6 +179,8 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
             er, ei = run_eval()
             evals.append({"steps": done_steps, "eval_return": round(er, 3),
                           "eval_incremental_iou": round(ei, 5)})
+            if ei > best["iou"]:
+                best.update(iou=ei, state=agent.state, steps=done_steps)
             print(f"[PPO vec] eval return={er:.2f} "
                   f"incremental_iou={ei:.5f}")
             if ep_log:
@@ -191,12 +196,30 @@ def train_ppo_vec(old_args, path, batch=8, horizon=50, venv=None,
 
     import pickle
 
-    with open(os.path.join(path, "ppo_model.pkl"), "wb") as f:
-        import jax
+    import jax
 
+    # restore + re-verify the best-eval policy; save it alongside the final
+    best_restored = None
+    if best["state"] is not None:
+        final_state = agent.state
+        agent.state = best["state"]
+        er, ei = run_eval()
+        best_restored = {"steps": best["steps"],
+                         "best_eval_incremental_iou": round(best["iou"], 5),
+                         "restored_eval_return": round(er, 3),
+                         "restored_eval_incremental_iou": round(ei, 5)}
+        with open(os.path.join(path, "ppo_model_best.pkl"), "wb") as f:
+            pickle.dump({"params": jax.device_get(agent.state.params),
+                         "ob_rms": ((ob_rms.mean, ob_rms.var)
+                                    if ob_rms is not None else None)}, f)
+        agent.state = final_state
+
+    with open(os.path.join(path, "ppo_model.pkl"), "wb") as f:
         pickle.dump({"params": jax.device_get(agent.state.params),
                      "ob_rms": ((ob_rms.mean, ob_rms.var)
                                 if ob_rms is not None else None)}, f)
+    agent.evals = evals
+    agent.best_eval = best_restored
     return agent
 
 

@@ -28,16 +28,22 @@ class SACState(NamedTuple):
 
 class SAC:
     def __init__(self, state_dim, action_dim, gamma=0.99, policy_lr=3e-4,
-                 q_lr=3e-4, entropy_lr=3e-4, target_update_coef=0.005, seed=0):
+                 q_lr=3e-4, entropy_lr=3e-4, target_update_coef=0.005, seed=0,
+                 alpha_cap=2.0):
         """state_dim: int (state-vector obs, reference parity) or a 3-tuple
         (H, W, C) image shape (visual-obs extension, BASELINE configs[3]) —
         networks switch to ConvEncoder torsos; explore/exploit then expect
-        uint8 images and scale to [0, 1]."""
+        uint8 images and scale to [0, 1].
+
+        alpha_cap: upper bound on the entropy temperature (see the
+        _update_impl clamp). None = uncapped = exact reference dynamics
+        (discor/algorithm/sac.py:130-137 has no cap)."""
         self.gamma = gamma
         self.tau = target_update_coef
         self.target_entropy = -float(action_dim)
         # cap for the entropy temperature (see _update_impl alpha clamp)
-        self.log_alpha_max = float(np.log(2.0))
+        self.log_alpha_max = (float(np.log(alpha_cap))
+                              if alpha_cap is not None else float("inf"))
 
         self.visual = isinstance(state_dim, (tuple, list))
         if self.visual:

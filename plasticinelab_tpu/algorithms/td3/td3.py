@@ -201,8 +201,12 @@ class TD3:
 
     # model save/load (reference TD3.py:152-159)
     def save(self, filename):
+        import os
         import pickle
 
+        d = os.path.dirname(filename)
+        if d:  # don't lose a multi-hour run to a missing save directory
+            os.makedirs(d, exist_ok=True)
         with open(filename + ".pkl", "wb") as f:
             pickle.dump(jax.device_get(self.state), f)
 
