@@ -72,8 +72,14 @@ def scan_one(task, episodes, batch):
 
 
 def main(episodes=3, batch=32, tasks=None):
+    subset = tasks is not None
     tasks = tasks or TASKS
     rows = []
+    out_file = os.path.join(REPO, "RANDOM_IOU_r05.json")
+    if subset and os.path.exists(out_file):
+        # merge a partial re-scan into the existing artifact
+        old = json.load(open(out_file))["extra"]["rows"]
+        rows = [r for r in old if r["task"] not in tasks]
     for task in tasks:
         try:
             row = scan_one(task, episodes, batch)
@@ -81,6 +87,8 @@ def main(episodes=3, batch=32, tasks=None):
             row = {"task": task, "error": f"{type(e).__name__}: {e}"}
         rows.append(row)
         print(json.dumps(row), flush=True)
+    rows.sort(key=lambda r: TASKS.index(r["task"])
+              if r["task"] in TASKS else 99)
     out = {
         "metric": "random_policy_iou_scan",
         "value": max((r.get("random_final_iou_max", 0.0) for r in rows),
@@ -90,7 +98,7 @@ def main(episodes=3, batch=32, tasks=None):
         "vs_baseline": None,
         "extra": {"rows": rows},
     }
-    with open(os.path.join(REPO, "RANDOM_IOU_r05.json"), "w") as f:
+    with open(out_file, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in ("metric", "value", "unit")}))
 

@@ -60,6 +60,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .local_transfer import LocalPlan
 
+# XLA's default scoped-vmem stack limit is 16 MiB; the pipelined crop
+# blocks (up to 4*D^3 f32 per buffer, double-buffered, D=64 for
+# roam-everywhere scenes) exceed it at B=32 for multi-primitive tasks
+# (observed: 16.06M Rope/Chopsticks, 19.83M TripleMove/Assembly at the
+# default limit). Raise the per-kernel budget on every crop-resident
+# pallas_call; v5e has 128 MiB physical VMEM per core.
+cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _split_bf16(a):
     """f32 -> (hi, lo) bf16 pair with hi + lo ~ a to ~16 mantissa bits.
@@ -764,6 +772,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
             out_specs=crop4,
             out_shape=jax.ShapeDtypeStruct((B, 4, D, Ly, D), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows16)
 
     def p2g_bwd_call(rows16, offs, off, ct_crop):
@@ -776,6 +785,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
             out_specs=rspec(15, NC),
             out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows16, ct_crop)
 
     def g2p_call(rows4, g_crop, offs, off):
@@ -787,6 +797,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
             out_specs=rspec(15, NC),
             out_shape=jax.ShapeDtypeStruct((15, B * NC * P), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows4, g_crop)
 
     def g2p_bwd_call(rows4, g_crop, ct_rows, offs, off):
@@ -801,6 +812,7 @@ def transfer_fns_batched(scene, plan: LocalPlan, D: int,
                 jax.ShapeDtypeStruct((3, B * NC * P), f32),
             ),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows4, g_crop, ct_rows)
 
     def _zero_int(a):
@@ -884,6 +896,7 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
             out_specs=crop1,
             out_shape=jax.ShapeDtypeStruct((B, D, Ly, D), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows4)
 
     def bwd_call(rows4, offs, off, ct_crop):
@@ -895,6 +908,7 @@ def mass_fns_batched(scene, plan: LocalPlan, D: int, interpret: bool = False):
             out_specs=rspec(3, NC),
             out_shape=jax.ShapeDtypeStruct((3, B * NC * P), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs.reshape(-1), off.reshape(-1), rows4, ct_crop)
 
     def _zero_int(a):
@@ -1021,6 +1035,7 @@ def mass_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
             out_specs=crop1,
             out_shape=jax.ShapeDtypeStruct((D, Ly, D), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs, off, rows4)
 
     def bwd_call(rows4, offs, off, ct_crop):
@@ -1036,6 +1051,7 @@ def mass_fns(scene, plan: LocalPlan, D: int, interpret: bool = False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, NC * P), f32),
             interpret=interpret,
+            compiler_params=cparams,
         )(offs, off, rows4, ct_crop)
 
     def _zero_int(a):
