@@ -11,7 +11,11 @@ import os as _os
 
 import jax as _jax
 
-_cache = _os.environ.get("PLB_COMPILE_CACHE", "/tmp/jaxcache")
+# Default cache lives inside the repo (gitignored) so it survives VM
+# restarts — /tmp does not, and a cold cache costs O(min) per distinct scene.
+_default_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), ".jaxcache")
+_cache = _os.environ.get("PLB_COMPILE_CACHE", _default_cache)
 if _cache != "0" and _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
