@@ -88,7 +88,31 @@ def main(n_iters=200, tasks=None):
         tasks = [t for t in tasks if t not in done]
         print(f"[resume] {len(rows)} tasks already done, "
               f"{len(tasks)} to go", flush=True)
-    for task in tasks:
+    def write_artifact(rows, complete):
+        rows = sorted(rows, key=lambda r: TASKS.index(r["task"])
+                      if r["task"] in TASKS else 99)
+        ok = [r for r in rows if "error" not in r]
+        improved = [r for r in ok if r["loss_decreased"]]
+        nonzero_iou = [r for r in ok if r["final_incremental_iou"] > 0.01]
+        out = {
+            "metric": "solve_sweep_tasks_improved",
+            "value": len(improved),
+            "unit": f"/{len(rows)} tasks with decreased loss "
+                    f"({n_iters} device Adam iters each)",
+            "vs_baseline": None,
+            "extra": {
+                "tasks_nonzero_incremental_iou": len(nonzero_iou),
+                "total_wall_s": round(
+                    sum(r.get("wall_s", 0) for r in rows), 1),
+                "complete": complete,
+                "rows": rows,
+            },
+        }
+        with open(os.path.join(REPO, "SOLVE_TASKS_r05.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+
+    for i, task in enumerate(tasks):
         try:
             row = solve_one(task, n_iters)
         except Exception as e:  # keep the sweep alive, record the failure
@@ -98,26 +122,11 @@ def main(n_iters=200, tasks=None):
         # stream per-task rows so an interrupted sweep still leaves evidence
         with open(rows_path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        # rewrite the root artifact after EVERY task: a wall-clock kill
+        # still leaves a valid (flagged-incomplete) artifact
+        write_artifact(rows, complete=(i == len(tasks) - 1))
 
-    rows.sort(key=lambda r: TASKS.index(r["task"])
-              if r["task"] in TASKS else 99)
-    ok = [r for r in rows if "error" not in r]
-    improved = [r for r in ok if r["loss_decreased"]]
-    nonzero_iou = [r for r in ok if r["final_incremental_iou"] > 0.01]
-    out = {
-        "metric": "solve_sweep_tasks_improved",
-        "value": len(improved),
-        "unit": f"/{len(rows)} tasks with decreased loss "
-                f"({n_iters} device Adam iters each)",
-        "vs_baseline": None,
-        "extra": {
-            "tasks_nonzero_incremental_iou": len(nonzero_iou),
-            "total_wall_s": round(sum(r.get("wall_s", 0) for r in rows), 1),
-            "rows": rows,
-        },
-    }
-    with open(os.path.join(REPO, "SOLVE_TASKS_r05.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    out = write_artifact(rows, complete=True)
     print(json.dumps({k: out[k] for k in ("metric", "value", "unit")}))
 
 
