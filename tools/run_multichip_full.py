@@ -27,6 +27,11 @@ def main(n_devices=8):
                    + f" --xla_force_host_platform_device_count={n_devices}"
                    ).strip(),
         PLB_DRYRUN_SCALE="move",
+        # horizon 1 = one full env step (19 substeps fwd+bwd) at full model
+        # scale: the sharded program/assertions are identical for any T, and
+        # T=5 is execution-infeasible on this host (1 CPU core emulating 8
+        # devices ran >60 min without completing)
+        PLB_DRYRUN_T=os.environ.get("PLB_DRYRUN_T", "1"),
     )
     t0 = time.perf_counter()
     proc = subprocess.run(
