@@ -30,6 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Multi-primitive scenes push the backward kernel's scoped-vmem stack
+# past XLA's 16 MiB default (Rope-v1 unbatched bwd: 24.17M) — same
+# budget raise as pallas_local.cparams.
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 _TX = 8  # x-cells per tile; crop sizes are multiples of 8
 
 
@@ -156,6 +161,7 @@ def grid_op_fns(scene, D: int, interpret: bool = False):
             out_specs=g3_spec,
             out_shape=jax.ShapeDtypeStruct((3, D, Ly * D), f32),
             interpret=interpret,
+            compiler_params=_CPARAMS,
         )(off, jnp.reshape(softness, (1,)).astype(f32), pf, gap,
           g4.reshape(4, D, Ly * D))
 
@@ -171,6 +177,7 @@ def grid_op_fns(scene, D: int, interpret: bool = False):
                 jax.ShapeDtypeStruct((k, 2), f32),
             ),
             interpret=interpret,
+            compiler_params=_CPARAMS,
         )(off, jnp.reshape(softness, (1,)).astype(f32), pf, gap,
           g4.reshape(4, D, Ly * D), ct.reshape(3, D, Ly * D))
 
@@ -231,6 +238,7 @@ def grid_op_fns_batched(scene, D: int, interpret: bool = False):
             out_specs=g3_spec,
             out_shape=jax.ShapeDtypeStruct((B, 3, D, Ly * D), f32),
             interpret=interpret,
+            compiler_params=_CPARAMS,
         )(off.reshape(-1), softness.reshape(B).astype(f32), pf, gap,
           g4.reshape(B, 4, D, Ly * D))
 
@@ -247,6 +255,7 @@ def grid_op_fns_batched(scene, D: int, interpret: bool = False):
                 jax.ShapeDtypeStruct((B, k, 2), f32),
             ),
             interpret=interpret,
+            compiler_params=_CPARAMS,
         )(off.reshape(-1), softness.reshape(B).astype(f32), pf, gap,
           g4.reshape(B, 4, D, Ly * D), ct.reshape(B, 3, D, Ly * D))
 
