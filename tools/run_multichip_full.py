@@ -47,10 +47,18 @@ def main(n_devices=8):
         "ok": proc.returncode == 0,
         "wall_s": round(wall, 1),
         "scope": ("shard_map program structure + sharding propagation at "
-                  "full Move scale on 8 virtual CPU devices; the rows/Pallas "
+                  "full Move scale on virtual CPU devices; the rows/Pallas "
                   "TPU fast path cannot run on the virtual mesh "
                   "(parallel/mesh.py fallback) - no multi-chip hardware in "
                   "this environment"),
+        "attempts_history": (
+            "8 devices x horizon 5: >60 min on one CPU core without "
+            "completing (killed); 8 devices x horizon 1: OOM-killed at "
+            "~1558 s (8 emulated device programs' execution residuals on a "
+            "125 GB host). Device count reduced until the emulation fits - "
+            "the sharding assertions (grad partitioned across all mesh "
+            "devices, per-device shard = B/n) are identical at any n; "
+            "8-device assertions pass at mini scale (MULTICHIP_r04.json)."),
         "tail": tail,
     }
     with open(os.path.join(REPO, "MULTICHIP_FULL_r05.json"), "w") as f:
