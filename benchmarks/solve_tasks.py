@@ -79,10 +79,15 @@ def main(n_iters=200, tasks=None):
                              "solve_tasks_rows.jsonl")
     if os.environ.get("PLB_SOLVE_RESUME") == "1" and os.path.exists(rows_path):
         done = {}
+        import math
+
         with open(rows_path) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("n_iters") == n_iters and "error" not in r:
+                # non-finite final loss = a diverged run, not a result:
+                # rerun it (the device solver now recovers in-graph)
+                if (r.get("n_iters") == n_iters and "error" not in r
+                        and math.isfinite(r.get("final_loss", math.nan))):
                     done[r["task"]] = r
         rows = [done[t] for t in tasks if t in done]
         tasks = [t for t in tasks if t not in done]

@@ -189,23 +189,34 @@ class Solver:
         lo, hi = ocfg.bounds
 
         def iter_fn(carry, _):
-            actions, m, v, it, best_loss, best_actions = carry
+            actions, m, v, it, best_loss, best_actions, lr_scale = carry
             (loss, comps), grad = jax.value_and_grad(
                 rollout_loss, has_aux=True)(actions)
-            better = loss < best_loss
+            better = loss < best_loss  # False for NaN loss: best is protected
             best_loss = jnp.where(better, loss, best_loss)
             best_actions = jnp.where(better, actions, best_actions)
+            # f32 divergence recovery (the reference runs f64 and has no
+            # guard): a non-finite rollout must not poison the moments —
+            # restart from the best actions seen with fresh moments and a
+            # halved step, instead of turning every later iterate into NaN
+            finite = jnp.isfinite(loss) & jnp.all(jnp.isfinite(grad))
+            grad = jnp.where(finite, grad, 0.0)
             if ocfg.type == "Adam":
                 m = b1 * m + (1 - b1) * grad
                 v = b2 * v + (1 - b2) * grad * grad
                 m_cap = m / (1 - b1 ** (it + 1))
                 v_cap = v / (1 - b2 ** (it + 1))
-                upd = lr * m_cap / (jnp.sqrt(v_cap) + eps)
+                upd = lr * lr_scale * m_cap / (jnp.sqrt(v_cap) + eps)
             else:  # Momentum (optim.py:33-46)
                 m = m * mom + grad * (1 - mom)
-                upd = lr * m
-            actions = jnp.clip(actions - upd, lo, hi)
-            return (actions, m, v, it + 1, best_loss, best_actions), comps
+                upd = lr * lr_scale * m
+            actions = jnp.where(
+                finite, jnp.clip(actions - upd, lo, hi), best_actions)
+            m = jnp.where(finite, m, 0.0)
+            v = jnp.where(finite, v, 0.0)
+            lr_scale = jnp.where(finite, lr_scale, lr_scale * 0.5)
+            return (actions, m, v, it + 1, best_loss, best_actions,
+                    lr_scale), comps
 
         @jax.jit
         def run_chunk(carry):
@@ -232,7 +243,8 @@ class Solver:
                 best_actions = jnp.asarray(st["best_action"], dtype)
                 print(f"[solver] resumed from {path} at iter {start_iter}")
 
-        carry = (actions, m, v, it0, best_loss, best_actions)
+        carry = (actions, m, v, it0, best_loss, best_actions,
+                 jnp.asarray(1.0, dtype))
         self.iter_losses = []
         self.iter_ious = []  # final-step raw IoU per iteration
         self.chunk_seconds = []
