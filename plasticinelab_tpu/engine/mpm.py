@@ -403,11 +403,18 @@ def resolve_remat(scene: SceneSpec, horizon: int, batch: int = 1) -> SceneSpec:
         return scene
     S = horizon * sim.substeps * batch
     n = sim.n_particles
-    if S * n * _REMAT_RESID_BYTES < _REMAT_RESID_BUDGET:
+    # Grid-sized residuals are NOT per-particle: each stored substep keeps
+    # transfer grids plus grid_op VJP saves that grow with primitive count
+    # (per-prim collision weights). Measured on the v5e (15.75 GB HBM):
+    # Move-v1 (k=2, 10k particles, 950 substeps) fits store-all; Rope-v1
+    # (k=3, same size) demands 19.9 GB under the per-particle-only estimate.
+    grid_resid = sim.n_grid ** 3 * 4 * (2 + 2 * len(scene.primitives))
+    per_substep = n * _REMAT_RESID_BYTES + grid_resid
+    if S * per_substep < _REMAT_RESID_BUDGET:
         policy = "none"
     elif S * n * _REMAT_CARRY_BYTES < _REMAT_CARRY_BUDGET:
         policy = "substep"
-    elif batch * sim.substeps * n * _REMAT_RESID_BYTES < _REMAT_RESID_BUDGET:
+    elif batch * sim.substeps * per_substep < _REMAT_RESID_BUDGET:
         policy = "env_step"
     else:
         policy = "both"

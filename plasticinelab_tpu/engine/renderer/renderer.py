@@ -496,7 +496,18 @@ class Renderer:
         if target_density is None:
             self.target_density = jnp.zeros(self.target_res, jnp.float32)
         else:
-            raw = jnp.asarray(target_density, jnp.float32).reshape(self.target_res)
+            raw = jnp.asarray(target_density, jnp.float32)
+            G = round(raw.size ** (1.0 / 3.0))
+            raw = raw.reshape((G, G, G))
+            if (G, G, G) != tuple(self.target_res):
+                # scene grids smaller than the render volume (e.g. 32^3
+                # probe scenes) upsample nearest-neighbour — the goal ghost
+                # is a visual texture only, never part of the loss
+                reps = self.target_res[0] // G
+                assert reps * G == self.target_res[0], (G, self.target_res)
+                for ax in range(3):
+                    raw = jnp.repeat(raw, reps, axis=ax)
+            raw = raw.reshape(self.target_res)
             self.target_density = _smooth27(3.0 - raw)
         # The goal texture is static per scene — pack it once here, not per
         # frame (it cost ~30 ms/frame regardless of image resolution).
